@@ -1,0 +1,141 @@
+"""Deterministic synthetic Common-Crawl-style ``pages`` table.
+
+Schema (per BASELINE.json input_hint):
+    url:string, warc_ts:timestamp[us, UTC], html:binary,
+    text:string (pre-extracted, == extract_text(html) by construction),
+    lang:string
+
+Same seed ⇒ byte-identical Parquet contents (stable row order by url).
+Fixture mix (FIXTURES.md §1): fact sentences drawn from the catalog with
+predicate cues, noise sentences, a malformed-HTML fraction, a
+duplicate-content fraction (dedup test), and one head entity appearing
+in >10% of pages (skew test).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.text import extract_text
+from .catalog import Catalog, build_catalog
+
+_EPOCH = _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc)
+
+_NOISE_WORDS = (
+    "the a quick brown lazy bright cloudy morning evening market street "
+    "report update news local annual meeting garden river mountain "
+    "coffee library festival weather travel music history science"
+).split()
+
+# sentence templates: (predicate, subject type, object type, fmt)
+_TEMPLATES = [
+    ("works_at", "person", "org", "{s} works at {o}."),
+    ("founded", "person", "org", "{s} founded {o}."),
+    ("located_in", "org", "place", "{s} is located in {o}."),
+    ("released", "org", "product", "{s} released {o}."),
+    ("acquired", "org", "org", "{s} acquired {o}."),
+    ("developed_by", "product", "org", "{s} is developed by {o}."),
+    ("partnered_with", "org", "org", "{s} partnered with {o}."),
+    ("ceo_of", "person", "org", "{s} is the CEO of {o}."),
+]
+
+_LANGS = ["en"] * 16 + ["de", "es", "fr", "zz"]  # "zz" is gated out
+
+
+def _noise_sentence(rng: random.Random) -> str:
+    n = rng.randint(5, 12)
+    words = [rng.choice(_NOISE_WORDS) for _ in range(n)]
+    return " ".join(words).capitalize() + "."
+
+
+def _fact_sentence(rng: random.Random, cat: Catalog, head_alias: str | None) -> str:
+    pred, st, ot, fmt = _TEMPLATES[rng.randrange(len(_TEMPLATES))]
+    if head_alias is not None and ot == "org":
+        # skew: head entity as object
+        s_ent = rng.choice(cat.by_type(st))
+        s = rng.choice(s_ent.aliases)
+        o = head_alias
+    else:
+        s_ent = rng.choice(cat.by_type(st))
+        o_ent = rng.choice(cat.by_type(ot))
+        s = rng.choice(s_ent.aliases)
+        o = rng.choice(o_ent.aliases)
+    if rng.random() < 0.06:
+        # out-of-catalog mention → exercises fallback identity minting
+        s = f"Visitor {rng.randrange(10000)}"
+    return fmt.format(s=s, o=o)
+
+
+def _page_html(rng: random.Random, cat: Catalog, idx: int, head_alias: str | None,
+               malformed: bool) -> bytes:
+    title = f"Daily Bulletin {idx}"
+    paras: list[str] = []
+    n_paras = rng.randint(1, 3)
+    for _ in range(n_paras):
+        sents: list[str] = []
+        for _ in range(rng.randint(2, 6)):
+            if rng.random() < 0.55:
+                sents.append(_fact_sentence(
+                    rng, cat, head_alias if rng.random() < 0.5 else None))
+            else:
+                sents.append(_noise_sentence(rng))
+        paras.append(" ".join(sents))
+    body = "\n".join(f"<p>{p}</p>" for p in paras)
+    nav = "<div class=\"nav\"><a href=\"/\">home</a> &amp; <a href=\"/about\">about</a></div>"
+    script = "<script>var t = 1 + 2; console.log(t);</script>"
+    if malformed:
+        # unclosed tags + stray angle bracket — error-path fixture
+        html = (f"<html><head><title>{title}</title>{script}</head>"
+                f"<body><h1>{title}<p>{paras[0]}"
+                f"<div>broken &lt; markup {body}")
+    else:
+        html = (f"<html><head><title>{title}</title>{script}</head>"
+                f"<body><h1>{title}</h1>{nav}{body}"
+                f"<footer>contact &copy; bulletin</footer></body></html>")
+    return html.encode("utf-8")
+
+
+def generate_pages(n_pages: int, seed: int = 42) -> pa.Table:
+    """Build the pages table deterministically; rows sorted by url."""
+    cat = build_catalog(seed)
+    rng = random.Random(seed * 1_000_003 + n_pages)
+    head_alias = "Acme Corp"  # head entity: object of ~>10% of fact sentences
+
+    rows: list[dict] = []
+    dup_pool: list[tuple[bytes, str]] = []
+    for i in range(n_pages):
+        site = rng.randrange(max(1, n_pages // 8))
+        url = f"https://site-{site:04d}.example/p/{i:06d}"
+        ts = _EPOCH + _dt.timedelta(seconds=rng.randrange(365 * 24 * 3600))
+        lang = rng.choice(_LANGS)
+        if dup_pool and rng.random() < 0.05:
+            html, text = dup_pool[rng.randrange(len(dup_pool))]
+        else:
+            malformed = rng.random() < 0.04
+            html = _page_html(rng, cat, i, head_alias, malformed)
+            text = extract_text(html)
+            if rng.random() < 0.3:
+                dup_pool.append((html, text))
+        rows.append({"url": url, "warc_ts": ts, "html": html,
+                     "text": text, "lang": lang})
+
+    rows.sort(key=lambda r: r["url"])
+    schema = pa.schema([
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+def write_pages(path: str, n_pages: int, seed: int = 42,
+                row_group_size: int = 4096) -> str:
+    t = generate_pages(n_pages, seed)
+    pq.write_table(t, path, row_group_size=row_group_size)
+    return path

@@ -1,0 +1,121 @@
+"""Deterministic HTML → text extraction and triple extraction.
+
+These are THE reference semantics of this engine: single-threaded, pure
+Python, no locale/threading dependence.  The distributed Ray pipeline
+must reproduce them byte-identically per url (the conformance invariant
+from BASELINE.json input_hint).  They play the role GUAC's processor +
+parser stages play for SBOM documents
+(/root/reference/pkg/handler/processor/process/process.go:197-221,
+/root/reference/pkg/ingestor/parser/parser.go:203-231): decode/validate
+a raw blob, then emit typed (subject, predicate, object) statements with
+provenance.
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+from typing import Iterable
+
+# --- HTML → text ----------------------------------------------------------
+
+# Tags whose entire content is dropped (analog of the processor rejecting
+# undecodable payloads, process.go:277-318).
+_DROP_TAGS = ("script", "style", "noscript", "head")
+
+_DROP_RE = re.compile(
+    r"<(%s)\b[^>]*>.*?</\1\s*>" % "|".join(_DROP_TAGS),
+    re.IGNORECASE | re.DOTALL,
+)
+# Block-level tags become newlines so sentence structure survives.
+_BLOCK_RE = re.compile(
+    r"</?(?:p|div|br|h[1-6]|li|ul|ol|tr|table|article|section|header|footer|blockquote)\b[^>]*>",
+    re.IGNORECASE,
+)
+_TAG_RE = re.compile(r"<[^>]+>")
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_WS_RE = re.compile(r"[ \t\r\f\v]+")
+_NL_RE = re.compile(r"\n{2,}")
+
+
+def extract_text(html_bytes: bytes) -> str:
+    """Deterministic plain-text extraction from raw HTML bytes.
+
+    Rules (fixed forever — goldens depend on them):
+      1. decode utf-8 (errors="replace")
+      2. strip comments, then <script>/<style>/<noscript>/<head> subtrees
+      3. block-level tags → newline; all other tags → ""
+      4. unescape HTML entities
+      5. collapse runs of spaces/tabs; strip each line; collapse blank
+         lines; join with single "\n"; strip outer whitespace
+    """
+    s = html_bytes.decode("utf-8", errors="replace")
+    s = _COMMENT_RE.sub("", s)
+    s = _DROP_RE.sub("", s)
+    s = _BLOCK_RE.sub("\n", s)
+    s = _TAG_RE.sub("", s)
+    s = _htmllib.unescape(s)
+    s = _WS_RE.sub(" ", s)
+    lines = [ln.strip() for ln in s.split("\n")]
+    s = "\n".join(ln for ln in lines if ln)
+    return s
+
+
+# --- Sentence segmentation + mention/triple extraction --------------------
+
+# Closed predicate vocabulary (the analog of GUAC's 17 typed edge lists,
+# /root/reference/pkg/assembler/assembler.go:31-49).  Each pattern maps a
+# sentence to exactly one (subj_surface, predicate, obj_surface).
+# Surfaces are later entity-linked; unlinkable surfaces get fallback keys
+# (the analog of GuacGenericPurl fallback minting,
+# /root/reference/pkg/assembler/helpers/purl.go:258-295).
+PREDICATE_PATTERNS: list[tuple[str, re.Pattern[str]]] = [
+    ("works_at", re.compile(r"^(?P<s>.+?) works at (?P<o>.+?)$")),
+    ("founded", re.compile(r"^(?P<s>.+?) founded (?P<o>.+?)$")),
+    ("located_in", re.compile(r"^(?P<s>.+?) is located in (?P<o>.+?)$")),
+    ("released", re.compile(r"^(?P<s>.+?) released (?P<o>.+?)$")),
+    ("acquired", re.compile(r"^(?P<s>.+?) acquired (?P<o>.+?)$")),
+    ("developed_by", re.compile(r"^(?P<s>.+?) is developed by (?P<o>.+?)$")),
+    ("partnered_with", re.compile(r"^(?P<s>.+?) partnered with (?P<o>.+?)$")),
+    ("ceo_of", re.compile(r"^(?P<s>.+?) is the CEO of (?P<o>.+?)$")),
+]
+
+PREDICATES = [p for p, _ in PREDICATE_PATTERNS]
+
+_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
+
+
+def sentences(text: str) -> Iterable[str]:
+    for line in text.split("\n"):
+        for sent in _SENT_SPLIT_RE.split(line):
+            sent = sent.strip()
+            if sent:
+                yield sent
+
+
+def extract_raw_triples(text: str) -> list[tuple[str, str, str]]:
+    """text → [(subj_surface, predicate, obj_surface)], document order.
+
+    Deterministic: first matching pattern wins per sentence (patterns are
+    ordered); trailing sentence punctuation stripped from the object.
+    """
+    out: list[tuple[str, str, str]] = []
+    for sent in sentences(text):
+        stripped = sent.rstrip(".!?").strip()
+        for pred, pat in PREDICATE_PATTERNS:
+            m = pat.match(stripped)
+            if m:
+                subj = m.group("s").strip()
+                obj = m.group("o").strip()
+                if subj and obj:
+                    out.append((subj, pred, obj))
+                break
+    return out
+
+
+# --- Language gate --------------------------------------------------------
+
+# Pages whose lang is not in this set are dropped at normalize time
+# (analog of the processor's validateFormat rejecting malformed docs,
+# process.go:235-258).
+ACCEPTED_LANGS = frozenset({"en", "de", "fr", "es"})

@@ -1,0 +1,141 @@
+"""Flagship pipeline: pages → nodes / edges / evidence Parquet.
+
+The Ray-Data re-expression of GUAC's collect → process → parse →
+assemble lifecycle (/root/reference/cmd/guacone/cmd/files.go:62-191 and
+SURVEY.md §3.1), end to end:
+
+    read_parquet(pages)                      # collectors
+      → normalize (map_batches, Arrow)       # processor
+      → extract   (map_batches explode)      # parsers
+      → link      (actor pool)               # enrichment scanners
+      → add_ids   (map_batches)              # content-hash identity
+      → canonicalize (two-phase groupby)     # assembler dedup/upsert
+      → write_parquet nodes/ edges/ evidence/   # backend tables
+
+Everything is lazy/streaming until the writes; nothing materializes the
+full dataset on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..stages.canonicalize import (add_ids, edges_table, evidence_table,
+                                   nodes_table)
+from ..stages.extract import extract
+from ..stages.link import link
+from ..stages.normalize import normalize
+from ..state.manifest import Manifest
+
+
+def linked_triples(pages_ds, alias_ref=None, link_concurrency: int = 4):
+    """pages Dataset → linked + content-id'd triples Dataset."""
+    ds = normalize(pages_ds)
+    ds = extract(ds)
+    ds = link(ds, alias_ref=alias_ref, concurrency=link_concurrency)
+    return add_ids(ds)
+
+
+def kg_datasets(pages_ds, alias_ref=None, num_buckets: int = 32,
+                link_concurrency: int = 4) -> dict:
+    """Wire the full pipeline; returns lazy Datasets keyed by table name.
+
+    The triples dataset feeds three consumers; it is NOT materialized —
+    each output re-executes the (cheap, deterministic) lineage. Callers
+    that consume all three at scale should write triples first and read
+    it back (see ``run_kg``).
+    """
+    triples = linked_triples(pages_ds, alias_ref, link_concurrency)
+    return {
+        "triples": triples,
+        "nodes": nodes_table(triples, num_buckets),
+        "edges": edges_table(triples, num_buckets),
+        "evidence": evidence_table(triples),
+    }
+
+
+def broadcast_alias_map(seed: int = 42):
+    """ray.put the alias dictionary once; actors fetch it in __init__."""
+    from ..data.catalog import build_catalog
+    return ray.put(build_catalog(seed).alias_map())
+
+
+def run_kg(pages_path: str, out_dir: str, *, num_buckets: int = 32,
+           link_concurrency: int = 4, seed: int = 42) -> dict:
+    """One-shot run: pages parquet → out_dir/{triples,nodes,edges,evidence}.
+
+    The linked-triples table is written once, then the canonicalization
+    shuffles read it back — so extract/link run exactly once, and the
+    triples parquet doubles as the resume checkpoint between the
+    embarrassingly-parallel phase and the shuffle phase.
+    Returns row counts per table.
+    """
+    alias_ref = broadcast_alias_map(seed)
+    pages = rd.read_parquet(pages_path)
+    triples = linked_triples(pages, alias_ref, link_concurrency)
+    tri_dir = os.path.join(out_dir, "triples")
+    triples.write_parquet(tri_dir)
+
+    tri = rd.read_parquet(tri_dir)
+    counts = {"triples": tri.count()}
+    for name, builder in (("nodes", nodes_table), ("edges", edges_table)):
+        out = builder(tri, num_buckets)
+        out.write_parquet(os.path.join(out_dir, name))
+        counts[name] = None
+    evidence_table(tri).write_parquet(os.path.join(out_dir, "evidence"))
+    for name in ("nodes", "edges", "evidence"):
+        counts[name] = rd.read_parquet(os.path.join(out_dir, name)).count()
+    return counts
+
+
+def run_kg_resumable(pages_files: list[str], out_dir: str, *,
+                     num_buckets: int = 32, link_concurrency: int = 4,
+                     seed: int = 42) -> dict:
+    """Resumable run: one partition per input parquet file.
+
+    Phase A (per-shard, embarrassingly parallel, checkpointed): for each
+    input file whose partition is not yet in the manifest, run
+    normalize→extract→link→add_ids and write
+    ``out_dir/triples/part=<shard>/`` + an atomic manifest entry with
+    lineage and metrics.  A killed run reruns only missing shards.
+
+    Phase B (global shuffle, idempotent): canonicalize from ALL
+    completed triple partitions and (re)write nodes/edges/evidence.
+    Safe to repeat — content-hash identities make it a pure function of
+    the triples table.
+    """
+    tri_root = os.path.join(out_dir, "triples")
+    man = Manifest(tri_root)
+    alias_ref = broadcast_alias_map(seed)
+
+    for i, path in enumerate(sorted(pages_files)):
+        pid = f"part-{i:05d}"
+        if man.done(pid):
+            continue
+        started = time.time()
+        part_dir = os.path.join(tri_root, f"part={i:05d}")
+        pages = rd.read_parquet(path)
+        tri = linked_triples(pages, alias_ref, link_concurrency)
+        tri.write_parquet(part_dir)
+        rows_out = sum(f.metadata.num_rows for f in (
+            pq.ParquetFile(os.path.join(part_dir, n))
+            for n in os.listdir(part_dir)))
+        man.commit(pid, inputs=[path], outputs=[part_dir],
+                   rows_in=pq.ParquetFile(path).metadata.num_rows,
+                   rows_out=rows_out, started=started)
+
+    part_dirs = [os.path.join(tri_root, d) for d in sorted(os.listdir(tri_root))
+                 if d.startswith("part=")]
+    tri = rd.read_parquet(part_dirs)
+    counts = {}
+    nodes_table(tri, num_buckets).write_parquet(os.path.join(out_dir, "nodes"))
+    edges_table(tri, num_buckets).write_parquet(os.path.join(out_dir, "edges"))
+    evidence_table(tri).write_parquet(os.path.join(out_dir, "evidence"))
+    for name in ("nodes", "edges", "evidence"):
+        counts[name] = rd.read_parquet(os.path.join(out_dir, name)).count()
+    return counts

@@ -1,0 +1,76 @@
+"""Entity-linking stage: surface triples → canonically keyed triples.
+
+GUAC analog: the ingest-time enrichment scanners / deps.dev client — a
+stateful stage holding a lookup structure in worker state with a
+per-actor cache (/root/reference/pkg/ingestor/parser/common/scanner/
+scanner.go:39-63; client cache internal/client/depsdevclient/
+deps_dev_client.go:70,585,618).
+
+Ray shape: a callable CLASS passed to ``map_batches(…, concurrency=N)``
+— an actor pool.  The alias dictionary is built/deserialized ONCE per
+actor in ``__init__`` (broadcast via ``ray.put`` from the driver: one
+object-store copy per node, never re-shipped per batch), and lookups
+run per batch.  At 100 TB the dictionary would be sharded by alias
+hash across a larger pool; the lookup path is identical.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.keys import entity_key, fallback_key
+
+
+class Linker:
+    """Actor-pool batch linker.
+
+    ``alias_ref`` is either a plain dict (tests / small runs) or a Ray
+    ObjectRef to one (production: ``ray.put(alias_map)`` on the driver).
+    """
+
+    def __init__(self, alias_ref=None, seed: int = 42):
+        import ray
+
+        if alias_ref is None:
+            from ..data.catalog import build_catalog
+            self.alias_map = build_catalog(seed).alias_map()
+        elif isinstance(alias_ref, dict):
+            self.alias_map = alias_ref
+        else:
+            self.alias_map = ray.get(alias_ref)
+        # memoized surface → (etype, key, name); GUAC's client-cache analog
+        self._cache: dict[str, tuple[str, str, str]] = {}
+
+    def _link(self, surface: str) -> tuple[str, str, str]:
+        hit = self._cache.get(surface)
+        if hit is not None:
+            return hit
+        m = self.alias_map.get(surface.lower())
+        if m is None:
+            res = ("unknown", fallback_key(surface), surface.strip().lower())
+        else:
+            etype, canonical = m
+            res = (etype, entity_key(etype, canonical), canonical)
+        self._cache[surface] = res
+        return res
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict[str, list[str]] = {
+            "subj_type": [], "subj_key": [], "subj_name": [],
+            "obj_type": [], "obj_key": [], "obj_name": [],
+        }
+        for side in ("subj", "obj"):
+            for v in batch[f"{side}_surface"].to_pylist():
+                etype, key, name = self._link(v)
+                cols[f"{side}_type"].append(etype)
+                cols[f"{side}_key"].append(key)
+                cols[f"{side}_name"].append(name)
+        for name, vals in cols.items():
+            batch = batch.append_column(name, pa.array(vals, type=pa.string()))
+        return batch
+
+
+def link(ds, alias_ref=None, concurrency: int = 4, batch_size: int = 4096):
+    return ds.map_batches(Linker, fn_constructor_kwargs={"alias_ref": alias_ref},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)

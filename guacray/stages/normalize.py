@@ -1,0 +1,50 @@
+"""Normalize stage: raw pages → language-gated, text-extracted docs.
+
+GUAC analog: the processor stage — decode → guess → validate → unpack
+(/root/reference/pkg/handler/processor/process/process.go:197-221).
+Here: language gate (validateFormat analog), deterministic HTML→text
+extraction (decode analog; byte-identical per url vs the single-threaded
+reference extractor — the conformance invariant), content-hash
+document_ref stamping (blob-key analog, pkg/events/events.go:77-90).
+
+Scale notes: runs as stateless ``map_batches`` over zero-copy Arrow
+batches; the wide ``html`` binary column is DROPPED here, immediately
+after its two uses (text + sha256), so downstream blocks are narrow.
+Per-row work (regex HTML strip, sha256) is unavoidable CPU — it
+parallelizes embarrassingly across blocks.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import document_ref
+from ..functions.text import ACCEPTED_LANGS, extract_text
+
+_LANGS = pa.array(sorted(ACCEPTED_LANGS), type=pa.string())
+
+
+def normalize_batch(batch: pa.Table) -> pa.Table:
+    """Arrow in / Arrow out. Output: url, warc_ts, document_ref, text, lang."""
+    batch = batch.filter(pc.is_in(batch["lang"], value_set=_LANGS))
+    html_col = batch["html"]
+    texts = []
+    drefs = []
+    for i in range(batch.num_rows):
+        blob = html_col[i].as_py()
+        texts.append(extract_text(blob))
+        drefs.append(document_ref(blob))
+    return pa.table({
+        "url": batch["url"],
+        "warc_ts": batch["warc_ts"],
+        "document_ref": pa.array(drefs, type=pa.string()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": batch["lang"],
+    })
+
+
+def normalize(ds, batch_size: int = 256):
+    """pages Dataset → normalized docs Dataset (html dropped)."""
+    return ds.map_batches(normalize_batch, batch_format="pyarrow",
+                          batch_size=batch_size)
