@@ -31,9 +31,42 @@ from ..stages.extract import extract
 from ..stages.link import link
 from ..stages.normalize import normalize
 from ..state.manifest import Manifest
+from .. import schemas
 
 
-def linked_triples(pages_ds, alias_ref=None, link_concurrency: int = 4):
+def write_table(ds, out_dir: str, empty_schema=None) -> None:
+    """Overwrite-write a Dataset as a parquet dir, atomically.
+
+    ``write_parquet`` appends part files into an existing dir; a rerun
+    would silently double the table.  Write to a sibling tmp dir and
+    swap via rename — readers never observe a half-written table and
+    reruns are idempotent (the resumability contract).
+    """
+    import shutil
+    tmp = out_dir.rstrip("/") + ".__tmp__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    ds.write_parquet(tmp)
+    if not any(f.endswith(".parquet") for f in os.listdir(tmp)):
+        # empty dataset: write_parquet emits no files; persist an explicit
+        # empty table so readers see a valid (0-row) parquet dir
+        import pyarrow as pa
+        schema = ds.schema()
+        arrow_schema = getattr(schema, "base_schema", None)
+        if not isinstance(arrow_schema, pa.Schema):
+            arrow_schema = empty_schema
+        if arrow_schema is not None:
+            pq.write_table(arrow_schema.empty_table(),
+                           os.path.join(tmp, "empty.parquet"))
+    old = out_dir.rstrip("/") + ".__old__"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(out_dir):
+        os.replace(out_dir, old)
+    os.replace(tmp, out_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def linked_triples(pages_ds, alias_ref=None, link_concurrency=None):
     """pages Dataset → linked + content-id'd triples Dataset."""
     ds = normalize(pages_ds)
     ds = extract(ds)
@@ -42,7 +75,7 @@ def linked_triples(pages_ds, alias_ref=None, link_concurrency: int = 4):
 
 
 def kg_datasets(pages_ds, alias_ref=None, num_buckets: int = 32,
-                link_concurrency: int = 4) -> dict:
+                link_concurrency=None) -> dict:
     """Wire the full pipeline; returns lazy Datasets keyed by table name.
 
     The triples dataset feeds three consumers; it is NOT materialized —
@@ -66,7 +99,7 @@ def broadcast_alias_map(seed: int = 42):
 
 
 def run_kg(pages_path: str, out_dir: str, *, num_buckets: int = 32,
-           link_concurrency: int = 4, seed: int = 42) -> dict:
+           link_concurrency=None, seed: int = 42) -> dict:
     """One-shot run: pages parquet → out_dir/{triples,nodes,edges,evidence}.
 
     The linked-triples table is written once, then the canonicalization
@@ -79,22 +112,24 @@ def run_kg(pages_path: str, out_dir: str, *, num_buckets: int = 32,
     pages = rd.read_parquet(pages_path)
     triples = linked_triples(pages, alias_ref, link_concurrency)
     tri_dir = os.path.join(out_dir, "triples")
-    triples.write_parquet(tri_dir)
+    write_table(triples, tri_dir, schemas.TRIPLES)
 
     tri = rd.read_parquet(tri_dir)
     counts = {"triples": tri.count()}
     for name, builder in (("nodes", nodes_table), ("edges", edges_table)):
         out = builder(tri, num_buckets)
-        out.write_parquet(os.path.join(out_dir, name))
+        write_table(out, os.path.join(out_dir, name),
+                    schemas.NODES if name == "nodes" else schemas.EDGES)
         counts[name] = None
-    evidence_table(tri).write_parquet(os.path.join(out_dir, "evidence"))
+    write_table(evidence_table(tri), os.path.join(out_dir, "evidence"),
+                schemas.EVIDENCE)
     for name in ("nodes", "edges", "evidence"):
         counts[name] = rd.read_parquet(os.path.join(out_dir, name)).count()
     return counts
 
 
 def run_kg_resumable(pages_files: list[str], out_dir: str, *,
-                     num_buckets: int = 32, link_concurrency: int = 4,
+                     num_buckets: int = 32, link_concurrency=None,
                      seed: int = 42) -> dict:
     """Resumable run: one partition per input parquet file.
 
@@ -121,7 +156,7 @@ def run_kg_resumable(pages_files: list[str], out_dir: str, *,
         part_dir = os.path.join(tri_root, f"part={i:05d}")
         pages = rd.read_parquet(path)
         tri = linked_triples(pages, alias_ref, link_concurrency)
-        tri.write_parquet(part_dir)
+        write_table(tri, part_dir, schemas.TRIPLES)  # idempotent even if a prior write died mid-flight
         rows_out = sum(f.metadata.num_rows for f in (
             pq.ParquetFile(os.path.join(part_dir, n))
             for n in os.listdir(part_dir)))
@@ -129,13 +164,19 @@ def run_kg_resumable(pages_files: list[str], out_dir: str, *,
                    rows_in=pq.ParquetFile(path).metadata.num_rows,
                    rows_out=rows_out, started=started)
 
-    part_dirs = [os.path.join(tri_root, d) for d in sorted(os.listdir(tri_root))
-                 if d.startswith("part=")]
-    tri = rd.read_parquet(part_dirs)
+    # only manifest-committed partitions feed the shuffle phase
+    part_dirs = [e["outputs"][0] for e in man.completed().values()]
+    # read_parquet expands a single dir, but a LIST of paths must be files
+    part_files = [os.path.join(d, f) for d in part_dirs
+                  for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    tri = rd.read_parquet(part_files)
     counts = {}
-    nodes_table(tri, num_buckets).write_parquet(os.path.join(out_dir, "nodes"))
-    edges_table(tri, num_buckets).write_parquet(os.path.join(out_dir, "edges"))
-    evidence_table(tri).write_parquet(os.path.join(out_dir, "evidence"))
+    write_table(nodes_table(tri, num_buckets), os.path.join(out_dir, "nodes"),
+                schemas.NODES)
+    write_table(edges_table(tri, num_buckets), os.path.join(out_dir, "edges"),
+                schemas.EDGES)
+    write_table(evidence_table(tri), os.path.join(out_dir, "evidence"),
+                schemas.EVIDENCE)
     for name in ("nodes", "edges", "evidence"):
         counts[name] = rd.read_parquet(os.path.join(out_dir, name)).count()
     return counts

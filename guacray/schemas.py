@@ -1,0 +1,59 @@
+"""Canonical Arrow schemas of the materialized graph tables.
+
+The analog of GUAC's fixed, code-defined schema (Go structs + GraphQL
+SDL, /root/reference/pkg/assembler/graphql/schema/ — SURVEY.md §1.2):
+no dynamic node/edge types; these schemas are the engine's contract.
+"""
+
+import pyarrow as pa
+
+TS = pa.timestamp("us", tz="UTC")
+
+PAGES = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", TS),
+    ("html", pa.binary()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+])
+
+TRIPLES = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", TS),
+    ("document_ref", pa.string()),
+    ("subj_surface", pa.string()),
+    ("predicate", pa.string()),
+    ("obj_surface", pa.string()),
+    ("subj_type", pa.string()),
+    ("subj_key", pa.string()),
+    ("subj_name", pa.string()),
+    ("obj_type", pa.string()),
+    ("obj_key", pa.string()),
+    ("obj_name", pa.string()),
+    ("subj_id", pa.string()),
+    ("obj_id", pa.string()),
+    ("edge_id", pa.string()),
+])
+
+NODES = pa.schema([
+    ("node_id", pa.string()),
+    ("node_key", pa.string()),
+    ("node_type", pa.string()),
+    ("name", pa.string()),
+])
+
+EDGES = pa.schema([
+    ("edge_id", pa.string()),
+    ("subj_id", pa.string()),
+    ("predicate", pa.string()),
+    ("obj_id", pa.string()),
+    ("first_seen", TS),
+    ("n_evidence", pa.int64()),
+])
+
+EVIDENCE = pa.schema([
+    ("edge_id", pa.string()),
+    ("document_ref", pa.string()),
+    ("url", pa.string()),
+    ("warc_ts", TS),
+])

@@ -70,7 +70,22 @@ class Linker:
         return batch
 
 
-def link(ds, alias_ref=None, concurrency: int = 4, batch_size: int = 4096):
+def default_pool_size() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster.
+
+    min=1 so the pool can never starve downstream task operators of
+    CPUs (a FIXED pool of size == cluster CPUs deadlocks the streaming
+    executor: actors hold every slot, the write/shuffle tasks wait
+    forever).  max leaves 2 CPUs of headroom for read/write stages.
+    """
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return (1, max(2, cpus - 2))
+
+
+def link(ds, alias_ref=None, concurrency=None, batch_size: int = 4096):
+    if concurrency is None:
+        concurrency = default_pool_size()
     return ds.map_batches(Linker, fn_constructor_kwargs={"alias_ref": alias_ref},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency, num_cpus=1)

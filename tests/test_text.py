@@ -1,0 +1,52 @@
+"""Normalize/extract function tests — the conformance invariant layer.
+
+Mirrors the reference's processor/guesser unit-test pattern
+(/root/reference/pkg/handler/processor/guesser/guesser_test.go et al.).
+"""
+
+from guacray.data.pages import generate_pages
+from guacray.functions.text import (extract_raw_triples, extract_text,
+                                    sentences)
+
+
+def test_extract_text_basic():
+    html = (b"<html><head><title>T</title><script>x=1</script></head>"
+            b"<body><h1>Head</h1><p>One two.</p><p>Three &amp; four.</p>"
+            b"</body></html>")
+    assert extract_text(html) == "Head\nOne two.\nThree & four."
+
+
+def test_extract_text_malformed_and_entities():
+    html = b"<html><body><h1>A<p>b &lt; c<div>d"
+    assert extract_text(html) == "A\nb < c\nd"
+
+
+def test_extract_text_deterministic_bytes():
+    html = "café <p>résumé</p>".encode("utf-8")
+    out1 = extract_text(html)
+    out2 = extract_text(bytes(html))
+    assert out1 == out2 == "café\nrésumé"
+
+
+def test_text_invariant_pages_table(tiny_pages):
+    """pages.text column is byte-identical to extract_text(html) per url."""
+    for row in tiny_pages.to_pylist():
+        assert extract_text(row["html"]) == row["text"], row["url"]
+
+
+def test_sentences_and_triples():
+    text = "Alpha works at Beta Corp. Noise here. Beta Corp acquired Gamma Labs."
+    assert list(sentences(text)) == [
+        "Alpha works at Beta Corp.", "Noise here.",
+        "Beta Corp acquired Gamma Labs."]
+    assert extract_raw_triples(text) == [
+        ("Alpha", "works_at", "Beta Corp"),
+        ("Beta Corp", "acquired", "Gamma Labs")]
+
+
+def test_pages_generator_deterministic():
+    a = generate_pages(32)
+    b = generate_pages(32)
+    assert a.equals(b)
+    c = generate_pages(32, seed=7)
+    assert not a.equals(c)
