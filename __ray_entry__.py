@@ -1,44 +1,96 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (nor in guacray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes the engine's operator surface (SURVEY.md §2):
+relational aggregates/joins/top-k, windowed+sessionized event
+analytics, the training-data ops (dedup family, quality, tokens,
+fingerprints, ANN), and the flagship KG-construction pipeline.  Every
+SQL-expressible op has a matching ``oracle_sql()`` entry with identical
+column names and rounding; the KG pipeline and the sketch-based ops are
+rows-only (their correctness gate is the pytest golden/parity suite).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+# pages fixture size per scale factor (deterministic, synthesized once
+# per process into a temp dir; input_hint-shaped: url/warc_ts/html/text/lang)
+_PAGES_PER_SF = {"sf0.001": 256, "sf0.01": 1024, "sf0.1": 4096}
+_pages_cache: dict[int, str] = {}
+
+
+def _pages_path(sf_dir: str) -> str:
+    from guacray.data.pages import write_pages
+    n = _PAGES_PER_SF.get(os.path.basename(os.path.normpath(sf_dir)), 512)
+    if n not in _pages_cache:
+        d = tempfile.mkdtemp(prefix="guacray_pages_")
+        _pages_cache[n] = os.path.join(d, f"pages_{n}.parquet")
+        write_pages(_pages_cache[n], n)
+    return _pages_cache[n]
+
+
+def _kg(sf_dir: str, table: str):
+    import ray.data as rd
+    from guacray.pipelines.kg import broadcast_alias_map, kg_datasets
+    pages = rd.read_parquet(_pages_path(sf_dir))
+    return kg_datasets(pages, alias_ref=broadcast_alias_map())[table]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: KG construction (pages → canonical edges) at sf0.001,
+    plus a smoke read of the driver-provided documents table."""
+    import ray.data as rd
+    rd.read_parquet("/root/testdata/sf0.001/documents.parquet").count()
+    return _kg("/root/testdata/sf0.001", "edges")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from guacray.pipelines import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {
+        # relational operator surface (SQL-checked)
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "top_orders_by_revenue": R.top_orders_by_revenue,
+        "region_revenue": R.region_revenue,
+        "brand_revenue": R.brand_revenue,
+        "orders_priority_stats": R.orders_priority_stats,
+        "customers_without_orders": R.customers_without_orders,
+        "segment_order_stats": R.segment_order_stats,
+        # event-stream analytics (SQL-checked)
+        "events_hourly": R.events_hourly,
+        "events_user_topk": R.events_user_topk,
+        "events_sessions": R.events_sessions,
+        # training-data ops over documents (SQL-checked)
+        "doc_exact_dedup": R.doc_exact_dedup,
+        "doc_token_counts": R.doc_token_counts,
+        "doc_quality": R.doc_quality,
+        "doc_norm_fingerprint": R.doc_norm_fingerprint,
+        "doc_lang_stats": R.doc_lang_stats,
+        "doc_mentions": R.doc_mentions,
+        # similarity search (SQL-checked brute force; LSH rows-only)
+        "ann_brute_topk": R.ann_brute_topk,
+        "embedding_label_counts": R.embedding_label_counts,
+        "ann_lsh_topk": R.ann_lsh_topk,
+        # near-dup sketches (rows-only; correctness in pytest)
+        "doc_minhash_pairs": R.doc_minhash_pairs,
+        "doc_simhash_pairs": R.doc_simhash_pairs,
+        "doc_lang_id": R.doc_lang_id,
+        "doc_winnow": R.doc_winnow,
+        # flagship KG pipeline (rows-only; golden parity in pytest)
+        "kg_triples": lambda sf: _kg(sf, "triples"),
+        "kg_nodes": lambda sf: _kg(sf, "nodes"),
+        "kg_edges": lambda sf: _kg(sf, "edges"),
+        "kg_evidence": lambda sf: _kg(sf, "evidence"),
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from guacray.pipelines.relational import SQL
+    return dict(SQL)

@@ -1,0 +1,132 @@
+"""Benchmark harness (driver contract: ONE JSON line on stdout).
+
+Headline: the flagship KG-construction pipeline (pages → normalize →
+extract → link → canonicalize → materialized nodes/edges/evidence) on a
+deterministic bench-scale pages fixture sized to $GRAFT_SF_DIR, plus
+timings for representative operator queries at the same scale.
+
+    python bench.py              # one run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling    # fresh processes at 8 and 32 CPUs,
+                                 # reports both + scaling efficiency
+
+Output: {"metric": "...", "value": <headline sec>, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+         "triples_per_sec": ..., "pages_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SEED = 42
+
+# bench pages fixture size per sf (pages ≈ heavier than documents rows:
+# each page carries ~1-3 KB html and fans out to ~4 triples)
+_PAGES_FOR_SF = {"sf0.001": 1024, "sf0.01": 4096, "sf0.1": 32768}
+
+
+def _sf_name() -> str:
+    return os.path.basename(os.path.normpath(SF_DIR))
+
+
+def run_bench() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from guacray.data.pages import write_pages_sharded
+    from guacray.pipelines import relational as R
+    from guacray.pipelines.kg import run_kg
+
+    sf = _sf_name()
+    n_pages = _PAGES_FOR_SF.get(sf, 4096)
+    pages_dir = f"/tmp/guacray_bench/pages_{sf}_{n_pages}"
+    write_pages_sharded(pages_dir, n_pages, seed=SEED)
+
+    # warm the page cache (untimed): one full read of the inputs
+    rd.read_parquet(pages_dir).count()
+    for t in ("lineitem", "orders", "customer", "events", "documents",
+              "embeddings"):
+        rd.read_parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
+
+    # ---- headline: KG end-to-end (read → ... → write 4 tables)
+    out_dir = f"/tmp/guacray_bench/kg_out_{NCPU}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    counts = run_kg(pages_dir, out_dir)
+    kg_sec = time.perf_counter() - t0
+
+    queries = {"kg_e2e": round(kg_sec, 3)}
+
+    # ---- representative operator queries (each consumed fully)
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        ds = fn(SF_DIR)
+        n = ds.count() if hasattr(ds, "count") else len(ds)
+        queries[name] = round(time.perf_counter() - t0, 3)
+        return n
+
+    timed("q1_pricing_summary", R.q1_pricing_summary)
+    timed("top_orders_by_revenue", R.top_orders_by_revenue)
+    timed("events_sessions", R.events_sessions)
+    timed("doc_exact_dedup", R.doc_exact_dedup)
+    timed("doc_minhash_pairs", R.doc_minhash_pairs)
+    timed("ann_brute_topk", R.ann_brute_topk)
+
+    result = {
+        "metric": "kg_e2e_sec (pages→materialized nodes/edges/evidence)",
+        "value": round(kg_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NCPU,
+        "n_pages": n_pages,
+        "n_triples": counts["triples"],
+        "triples_per_sec": round(counts["triples"] / kg_sec, 1),
+        "pages_per_sec": round(n_pages / kg_sec, 1),
+        "ray_version": ray.__version__,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run_at(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo_cpu, hi_cpu = 8, 32
+    lo, hi = run_at(lo_cpu), run_at(hi_cpu)
+    tput_lo = lo["triples_per_sec"]
+    tput_hi = hi["triples_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi_cpu / lo_cpu)
+    return {
+        "metric": "kg_e2e scaling efficiency (triples/sec at 8 vs 32 CPUs)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "triples_per_sec_8": tput_lo, "triples_per_sec_32": tput_hi,
+        "speedup": round(tput_hi / tput_lo, 2),
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"], "n_pages": lo["n_pages"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -99,17 +99,20 @@ def _page_html(rng: random.Random, cat: Catalog, idx: int, head_alias: str | Non
     return html.encode("utf-8")
 
 
-def generate_pages(n_pages: int, seed: int = 42) -> pa.Table:
-    """Build the pages table deterministically; rows sorted by url."""
-    cat = build_catalog(seed)
-    rng = random.Random(seed * 1_000_003 + n_pages)
+def generate_pages(n_pages: int, seed: int = 42, url_offset: int = 0) -> pa.Table:
+    """Build the pages table deterministically; rows sorted by url.
+
+    ``url_offset`` keeps urls globally unique across sharded generation.
+    """
+    cat = build_catalog(seed)  # catalog is seed-only: all shards share it
+    rng = random.Random(seed * 1_000_003 + n_pages + url_offset * 2_654_435_761)
     head_alias = "Acme Corp"  # head entity: object of ~>10% of fact sentences
 
     rows: list[dict] = []
     dup_pool: list[tuple[bytes, str]] = []
-    for i in range(n_pages):
+    for i in range(url_offset, url_offset + n_pages):
         site = rng.randrange(max(1, n_pages // 8))
-        url = f"https://site-{site:04d}.example/p/{i:06d}"
+        url = f"https://site-{site:04d}.example/p/{i:08d}"
         ts = _EPOCH + _dt.timedelta(seconds=rng.randrange(365 * 24 * 3600))
         lang = rng.choice(_LANGS)
         if dup_pool and rng.random() < 0.05:
@@ -139,3 +142,37 @@ def write_pages(path: str, n_pages: int, seed: int = 42,
     t = generate_pages(n_pages, seed)
     pq.write_table(t, path, row_group_size=row_group_size)
     return path
+
+
+def write_pages_sharded(out_dir: str, n_pages: int, seed: int = 42,
+                        shard_size: int = 2048) -> str:
+    """Bench-scale fixture: shards generated in parallel as Ray tasks,
+    each shard deterministic from (seed, shard_id).  Idempotent: skips
+    shards that already exist, so repeated bench runs reuse the fixture.
+    """
+    import os
+
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote
+    def gen_shard(shard_id: int, count: int) -> str:
+        p = os.path.join(out_dir, f"pages-{shard_id:05d}.parquet")
+        if not os.path.exists(p):
+            tmp = p + ".tmp"
+            t = generate_pages(count, seed=seed,
+                               url_offset=shard_id * shard_size)
+            pq.write_table(t, tmp, row_group_size=4096)
+            os.replace(tmp, p)
+        return p
+
+    refs = []
+    remaining = n_pages
+    shard = 0
+    while remaining > 0:
+        refs.append(gen_shard.remote(shard, min(shard_size, remaining)))
+        remaining -= shard_size
+        shard += 1
+    ray.get(refs)
+    return out_dir

@@ -1,0 +1,530 @@
+"""Relational / analytic query library over the driver's test tables.
+
+These are the engine's generic operator surface — grouped aggregates,
+broadcast + hash-partitioned joins, semi/anti joins, top-k, windowed
+and sessionized event analytics — each with a DuckDB-equivalent SQL
+string (``SQL`` dict) used by the driver's correctness gate.  They play
+the role of GUAC's read-side query/analytics layer (SURVEY.md §2.6):
+e.g. ``top dependents ranking`` is the same shape as
+``events_user_topk`` (groupby → count → global top-k,
+/root/reference/pkg/dependencies/dependents.go:49-183).
+
+Float policy: money sums rounded to 2 dp, ratios/averages to 4 dp, in
+BOTH the Ray code and the SQL, so order-of-addition fp noise cannot
+flip the driver's value-hash.
+
+Every reader prunes columns at the parquet scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..functions.rounding import pc_round
+from ..stages.agg import grouped_agg, map_side_join, semi_join_filter
+from ..stages.ann import brute_force_topk, lsh_topk, make_query_vector
+from ..stages.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
+from ..stages.quality import (lang_id, norm_fingerprint, quality_scores,
+                              token_counts, winnow_fingerprints)
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _round_cols(dp: int, *cols):
+    def fn(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            i = batch.schema.get_field_index(c)
+            batch = batch.set_column(
+                i, c, pc_round(pc.cast(batch[c], pa.float64()), dp))
+        return batch
+    return fn
+
+
+# ---------------------------------------------------------------- TPC-H-ish
+
+def q1_pricing_summary(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=[
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate"])
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), type=pa.timestamp("us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        return t.append_column("disc_price", pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])))
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = grouped_agg(ds, ["l_returnflag", "l_linestatus"], [
+        ("l_quantity", "sum", "sum_qty"),
+        ("l_extendedprice", "sum", "sum_base_price"),
+        ("disc_price", "sum", "sum_disc_price"),
+        ("l_quantity", "count", "count_order"),
+    ])
+
+    def finish(t: pa.Table) -> pa.Table:
+        cnt = pc.cast(t["count_order"], pa.float64())
+        t = t.append_column("avg_qty", pc_round(pc.divide(t["sum_qty"], cnt), 4))
+        t = t.append_column("avg_price",
+                            pc_round(pc.divide(t["sum_base_price"], cnt), 4))
+        return t
+    out = out.map_batches(finish, batch_format="pyarrow")
+    return out.map_batches(
+        _round_cols(2, "sum_qty", "sum_base_price", "sum_disc_price"),
+        batch_format="pyarrow")
+
+
+def top_orders_by_revenue(sf_dir: str):
+    """q3-ish: top 10 BUILDING-segment orders by revenue.
+
+    Semi-join filter by broadcast custkey set, then a hash-partitioned
+    ``Dataset.join`` lineitem ⋈ orders (the big-big join path), grouped
+    revenue, global top-k."""
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], pa.scalar("BUILDING"))),
+        batch_format="pyarrow")
+    keys = set(cust.unique("c_custkey"))
+    key_ref = ray.put(keys)
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=[
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+    orders = semi_join_filter(orders, key_ref, "o_custkey")
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=[
+        "l_orderkey", "l_extendedprice", "l_discount"])
+    li = li.map_batches(
+        lambda t: t.append_column("revenue_item", pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"]))),
+        batch_format="pyarrow").select_columns(["l_orderkey", "revenue_item"])
+    joined = li.join(orders, "inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    out = grouped_agg(joined, ["l_orderkey", "o_orderdate", "o_orderpriority"],
+                      [("revenue_item", "sum", "revenue")])
+    out = out.map_batches(_round_cols(2, "revenue"), batch_format="pyarrow")
+    out = out.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["o_orderkey" if c == "l_orderkey" else c for c in t.column_names]),
+        batch_format="pyarrow")
+
+
+def region_revenue(sf_dir: str):
+    """q5-ish: revenue by region/nation via a 3-dim broadcast join."""
+    sup = pd.read_parquet(_t(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"])
+    nat = pd.read_parquet(_t(sf_dir, "nation"))
+    reg = pd.read_parquet(_t(sf_dir, "region"))
+    dim = (sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+              .merge(reg, left_on="n_regionkey", right_on="r_regionkey"))
+    dim = dim[["s_suppkey", "n_name", "r_name"]]
+    dim_ref = ray.put(dim)
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=[
+        "l_suppkey", "l_extendedprice", "l_discount"])
+    li = li.map_batches(
+        lambda t: t.append_column("revenue_item", pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"]))),
+        batch_format="pyarrow")
+    def merge_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(ray.get(dim_ref),
+                           left_on="l_suppkey", right_on="s_suppkey")
+    joined = li.map_batches(merge_fn, batch_format="pandas")
+    out = grouped_agg(joined, ["r_name", "n_name"], [
+        ("revenue_item", "sum", "revenue"),
+        ("l_suppkey", "count", "n_items")])
+    return out.map_batches(_round_cols(2, "revenue"), batch_format="pyarrow")
+
+
+def brand_revenue(sf_dir: str):
+    part = pd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    part_ref = ray.put(part)
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=[
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    li = li.map_batches(
+        lambda t: t.append_column("revenue_item", pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"]))),
+        batch_format="pyarrow")
+
+    def merge_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(ray.get(part_ref),
+                           left_on="l_partkey", right_on="p_partkey")
+    joined = li.map_batches(merge_fn, batch_format="pandas")
+    out = grouped_agg(joined, ["p_brand"], [
+        ("revenue_item", "sum", "revenue"),
+        ("l_quantity", "sum", "total_qty")])
+    return out.map_batches(_round_cols(2, "revenue", "total_qty"),
+                           batch_format="pyarrow")
+
+
+def orders_priority_stats(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderpriority", "o_totalprice"])
+    out = grouped_agg(ds, ["o_orderpriority"], [
+        ("o_totalprice", "count", "n_orders"),
+        ("o_totalprice", "sum", "total_price")])
+    return out.map_batches(_round_cols(2, "total_price"),
+                           batch_format="pyarrow")
+
+
+def customers_without_orders(sf_dir: str):
+    """Anti join by broadcast key set (Bloom filter at scale):
+    customers with no completed ('F') order."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_custkey", "o_orderstatus"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F"))),
+        batch_format="pyarrow")
+    keys = set(orders.unique("o_custkey"))
+    key_ref = ray.put(keys)
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_name", "c_mktsegment"])
+    return semi_join_filter(cust, key_ref, "c_custkey", anti=True)
+
+
+def segment_order_stats(sf_dir: str):
+    cust = pd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"])
+    cust_ref = ray.put(cust)
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_custkey", "o_totalprice"])
+
+    def merge_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(ray.get(cust_ref),
+                           left_on="o_custkey", right_on="c_custkey")
+    joined = orders.map_batches(merge_fn, batch_format="pandas")
+    out = grouped_agg(joined, ["c_mktsegment"], [
+        ("o_totalprice", "count", "n_orders"),
+        ("o_totalprice", "sum", "revenue")])
+    return out.map_batches(_round_cols(2, "revenue"), batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ events
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per event_type (streaming-analog)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "hour", pc.floor_temporal(t["ts"], unit="hour")),
+        batch_format="pyarrow")
+    out = grouped_agg(ds, ["event_type", "hour"], [
+        ("value", "count", "n_events"),
+        ("value", "sum", "total_value")])
+    return out.map_batches(_round_cols(2, "total_value"),
+                           batch_format="pyarrow")
+
+
+def events_user_topk(sf_dir: str, k: int = 20):
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "value"])
+    out = grouped_agg(ds, ["user_id"], [
+        ("value", "count", "n_events"),
+        ("value", "sum", "total_value")])
+    out = out.map_batches(_round_cols(2, "total_value"),
+                          batch_format="pyarrow")
+    return out.sort(["total_value", "user_id"],
+                    descending=[True, False]).limit(k)
+
+
+def events_sessions(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 64):
+    """Session windows: per-user event runs split at >30-min gaps.
+
+    Ray Data has no event-time windows; the idiomatic expression is
+    hash-bucket by user → ``map_groups`` doing vectorized pandas
+    sessionization over (user, ts)-sorted rows (ray_guide.md pattern).
+    One Python call per *bucket*, not per user.
+    """
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id"])
+    ds = ds.map_batches(
+        lambda t: t.append_column("bucket", pc.cast(
+            pc.bit_wise_and(t["user_id"], num_buckets - 1), pa.int32())),
+        batch_format="pyarrow")
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        g = df.groupby("user_id", sort=False)
+        new_sess = (df["ts"] - g["ts"].shift()).gt(gap) | g.cumcount().eq(0)
+        df["session_num"] = new_sess.astype("int64").groupby(
+            df["user_id"], sort=False).cumsum()
+        out = (df.groupby(["user_id", "session_num"], sort=False)
+                 .agg(n_events=("event_id", "size"),
+                      session_start=("ts", "min"),
+                      session_end=("ts", "max"))
+                 .reset_index())
+        return out
+
+    return ds.groupby("bucket").map_groups(sessionize, batch_format="pandas")
+
+
+# --------------------------------------------------------------- documents
+
+def doc_exact_dedup(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+def doc_token_counts(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return token_counts(ds)
+
+
+def doc_quality(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return quality_scores(ds)
+
+
+def doc_norm_fingerprint(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return norm_fingerprint(ds)
+
+
+def doc_lang_stats(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["lang", "n_chars"])
+    return grouped_agg(ds, ["lang"], [
+        ("n_chars", "count", "n_docs"),
+        ("n_chars", "sum", "total_chars")])
+
+
+MENTION_VOCAB = ("spark", "hash", "join", "sort", "scan", "merge",
+                 "stream", "batch", "window", "table")
+
+
+def doc_mentions(sf_dir: str):
+    """Explode-extract parity op: split text, keep vocabulary words —
+    the SQL-checkable miniature of the KG extract stage (flat-map
+    explode with provenance)."""
+    vocab = set(MENTION_VOCAB)
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, mentions = [], []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            for w in text.split(" "):
+                if w in vocab:
+                    ids.append(did)
+                    mentions.append(w)
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "mention": pa.array(mentions, type=pa.string())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_minhash_pairs(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds)
+
+
+def doc_simhash_pairs(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return simhash_pairs(ds)
+
+
+def doc_lang_id(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text", "lang"])
+    return lang_id(ds)
+
+
+def doc_winnow(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    fp = winnow_fingerprints(ds)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        fps = batch["fingerprints"].to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_fp": pa.array([len(f) for f in fps], type=pa.int64()),
+            "fp_checksum": pa.array(
+                [int(np.bitwise_xor.reduce(np.array(f, dtype=np.uint64)))
+                 if f else 0 for f in fps],
+                type=pa.uint64()),
+        })
+    return fp.map_batches(summarize, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- embeddings
+
+def ann_brute_topk(sf_dir: str, k: int = 50):
+    q = make_query_vector(64)
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    return brute_force_topk(ds, q, k=k)
+
+
+def ann_lsh_topk(sf_dir: str, k: int = 50):
+    q = make_query_vector(64)
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    return lsh_topk(ds, q, k=k)
+
+
+def embedding_label_counts(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["label", "vec_id"])
+    return grouped_agg(ds, ["label"], [("vec_id", "count", "n_vecs")])
+
+
+# ------------------------------------------------------------------- SQL
+
+def _query_vec_sql() -> str:
+    q = make_query_vector(64)
+    return "[" + ", ".join(repr(float(x)) for x in q) + "]"
+
+
+SQL: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               count(*) AS count_order,
+               round(sum(l_quantity) / count(*), 4) AS avg_qty,
+               round(sum(l_extendedprice) / count(*), 4) AS avg_price
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_orders_by_revenue": """
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    "region_revenue": """
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "brand_revenue": """
+        SELECT p_brand,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    "orders_priority_stats": """
+        SELECT o_orderpriority, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderstatus = 'F')
+    """,
+    "segment_order_stats": """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "events_hourly": """
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    "events_user_topk": """
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY user_id
+        ORDER BY total_value DESC, user_id
+        LIMIT 20
+    """,
+    "events_sessions": """
+        WITH o AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT user_id, ts, event_id,
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
+            FROM o
+        )
+        SELECT user_id, session_num, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM s GROUP BY user_id, session_num
+    """,
+    "doc_exact_dedup": """
+        SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "doc_token_counts": r"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_re_tokens
+        FROM documents
+    """,
+    "doc_quality": r"""
+        SELECT doc_id,
+               length(text) AS n_chars_txt,
+               len(string_split(text, ' ')) AS n_words,
+               round(length(regexp_replace(text, '[^a-z]', '', 'g'))
+                     / greatest(length(text), 1), 4) AS alpha_ratio,
+               round((length(text) - len(string_split(text, ' ')) + 1)
+                     / len(string_split(text, ' ')), 4) AS mean_word_len,
+               round(least(len(string_split(text, ' ')), 100) / 100.0 * 0.7
+                     + round(length(regexp_replace(text, '[^a-z]', '', 'g'))
+                             / greatest(length(text), 1), 4) * 0.3, 4) AS quality
+        FROM documents
+    """,
+    "doc_norm_fingerprint": r"""
+        SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+               min(doc_id) AS doc_id, count(*) AS n_docs
+        FROM documents GROUP BY 1
+    """,
+    "doc_lang_stats": """
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang
+    """,
+    "doc_mentions": """
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '),
+                                  x -> x IN {vocab})) AS mention
+        FROM documents
+    """.format(vocab="(" + ", ".join(f"'{w}'" for w in MENTION_VOCAB) + ")"),
+    "ann_brute_topk": f"""
+        SELECT vec_id,
+               round(list_cosine_similarity(embedding, {_query_vec_sql()}), 4)
+                   AS cos_sim
+        FROM embeddings
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 50
+    """,
+    "embedding_label_counts": """
+        SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
+    """,
+}

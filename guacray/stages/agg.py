@@ -1,0 +1,121 @@
+"""Two-phase grouped aggregation — the engine's scalable groupby.
+
+A bare ``ds.groupby(keys).aggregate(...)`` shuffles every input row.
+This helper implements combiner-style aggregation (the classic
+partial/final split, and the skew defence SURVEY.md §4 calls for):
+
+  phase 1: inside ``map_batches``, ``pyarrow.TableGroupBy`` collapses
+           each block to ≤1 row per key (vectorized, zero-copy Arrow);
+  phase 2: an explicit hash bucket column + ``groupby("bucket").
+           map_groups`` merges partials — one vectorized pyarrow
+           group_by per bucket, never one Python call per key.
+
+Supported ops: sum, count, min, max (count merges by sum).  Averages
+are computed by callers as sum/count after the merge — that keeps every
+op re-mergeable (the algebraic-aggregate property).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MERGE_OP = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def _bucket_from_keys(t: pa.Table, keys: list[str], num_buckets: int) -> pa.Array:
+    # deterministic bucket from the string-joined key tuple
+    parts = [pc.cast(t[k], pa.string()) for k in keys]
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = pc.binary_join_element_wise(joined, p, "\x1f")
+    import hashlib
+    return pa.array(
+        [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=4).digest(),
+                        "big") % num_buckets
+         for s in joined.to_pylist()],
+        type=pa.int32())
+
+
+def grouped_agg(ds, keys: list[str] | str,
+                specs: list[tuple[str, str, str]],
+                num_buckets: int = 32):
+    """specs: [(column, op, alias)] with op ∈ {sum,count,min,max}.
+
+    Returns a Dataset with columns keys + aliases (one row per key
+    tuple).  count counts NON-NULL values of ``column`` (use a key
+    column for row counts).
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    aliases = [a for _, _, a in specs]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(keys).aggregate(
+            [(c, op) for c, op, _ in specs])
+        agg = agg.rename_columns(keys + aliases)
+        return agg.append_column(
+            "bucket", _bucket_from_keys(agg, keys, num_buckets))
+
+    def merge(group: pa.Table) -> pa.Table:
+        agg = group.group_by(keys).aggregate(
+            [(a, _MERGE_OP[op]) for (_, op, _), a in zip(specs, aliases)])
+        agg = agg.rename_columns(keys + aliases)
+        # counts widen to int64 after the sum-merge
+        for (c, op, a) in specs:
+            if op == "count":
+                i = agg.schema.get_field_index(a)
+                agg = agg.set_column(i, a, pc.cast(agg[a], pa.int64()))
+        return agg
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def broadcast_lookup(small_df):
+    """ray.put a small pandas dim table once for map-side joins.
+
+    Usage: ``ref = broadcast_lookup(df)``; inside a stage,
+    ``df = ray.get(ref)`` (in an actor's __init__, or at first batch) —
+    the object-store copy is shared per node, never re-shipped.
+    """
+    import ray
+    return ray.put(small_df)
+
+
+def map_side_join(ds, small_ref, on: str | list[str], how: str = "inner",
+                  columns: list[str] | None = None):
+    """Broadcast hash join: big Dataset ⋈ small pandas table.
+
+    The Ray-idiomatic replacement for GUAC's noun-ID substitution join
+    (/root/reference/pkg/assembler/clients/helpers/bulk.go:120-238) when
+    one side is dimension-sized.  For big-big joins use
+    ``Dataset.join`` (hash-partitioned) instead.
+    """
+    import pandas as pd
+    import ray
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        small = ray.get(small_ref)
+        if columns is not None:
+            small = small[columns]
+        return batch.merge(small, on=on, how=how)
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def semi_join_filter(ds, key_set_ref, col: str, anti: bool = False):
+    """Semi/anti join by broadcast key set (GUAC's visited-set pattern,
+    /root/reference/pkg/ingestor/parser/parser.go:216-220).  At larger
+    key cardinalities swap the set for a Bloom filter — same shape."""
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = ray.get(key_set_ref)
+        arr = pa.array(sorted(keys))
+        mask = pc.is_in(batch[col], value_set=arr)
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,294 @@
+"""Deduplication operators over a documents table.
+
+The reference's dedup is exact-only, by content key (noun/edge maps,
+/root/reference/pkg/assembler/assembler.go:196-308; in-doc identifier
+dedup common/helpers.go:121-149).  A web-scale training-data engine
+additionally needs near-dup detection; all variants below follow the
+same two-phase shape as canonicalization (per-batch combiner →
+bucketed exchange), so they scale the same way.
+
+Operators:
+  exact_dedup         md5(text) groups, min(doc_id) wins  (SQL-checkable)
+  minhash_lsh_pairs   shingle → minhash sig → banded LSH → candidate
+                      pairs with estimated Jaccard
+  simhash_pairs       64-bit simhash, banded buckets, Hamming ≤ k pairs
+  ngram_jaccard_verify exact n-gram Jaccard for a candidate pair list
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------- exact
+
+def _md5_col(texts: list[str]) -> pa.Array:
+    return pa.array([hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts],
+                    type=pa.string())
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                num_buckets: int = 32):
+    """Exact dedup: one row per distinct text.
+
+    Output: text_hash, doc_id (min id = canonical copy), n_copies.
+    Two-phase: per-batch partial (hash, min-id, count) then bucketed
+    merge — the hot-key-safe pattern from stages/canonicalize.py.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "text_hash": _md5_col(batch[text_col].to_pylist()),
+            id_col: batch[id_col],
+        })
+        agg = t.group_by("text_hash").aggregate(
+            [(id_col, "min"), ("text_hash", "count")])
+        agg = agg.rename_columns(["text_hash", id_col, "n_copies"])
+        bucket = pa.array(
+            [int(h[:8], 16) % num_buckets for h in agg["text_hash"].to_pylist()],
+            type=pa.int32())
+        return agg.append_column("bucket", bucket)
+
+    def merge(group: pa.Table) -> pa.Table:
+        agg = group.group_by("text_hash").aggregate(
+            [(id_col, "min"), ("n_copies", "sum")])
+        agg = agg.rename_columns(["text_hash", id_col, "n_copies"])
+        return agg.set_column(
+            agg.schema.get_field_index("n_copies"), "n_copies",
+            pc.cast(agg["n_copies"], pa.int64()))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- minhash
+
+def _word_shingles(text: str, k: int = 3) -> set[str]:
+    words = text.lower().split()
+    if len(words) < k:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
+
+
+def _stable_hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
+class MinHasher:
+    """Per-batch MinHash signatures. Permutation params derived from a
+    fixed seed in __init__ (once per actor), signatures vectorized with
+    numpy over each doc's shingle-hash array."""
+
+    MERSENNE = (1 << 61) - 1
+
+    def __init__(self, num_perm: int = 64, seed: int = 42, shingle_k: int = 3):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, self.MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, self.MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _word_shingles(text, self.shingle_k)
+        if not sh:
+            return np.full(self.num_perm, self.MERSENNE, dtype=np.uint64)
+        hv = np.array([_stable_hash64(s) for s in sh], dtype=np.uint64)
+        # (a*h + b) mod p, per permutation — outer product then min
+        prod = (self.a[None, :] * (hv[:, None] % self.MERSENNE) + self.b[None, :]) \
+            % self.MERSENNE
+        return prod.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.signature(t) for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "sig": pa.array([s.tolist() for s in sigs],
+                            type=pa.list_(pa.uint64())),
+        })
+
+
+def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.5, seed: int = 42,
+                      shingle_k: int = 3):
+    """Near-dup candidate pairs via banded MinHash-LSH.
+
+    sign → explode (band_id, band_hash, doc_id, sig) → groupby band
+    bucket → within-bucket pair emission → estimated-Jaccard filter →
+    global pair dedup.  Output: doc_a, doc_b (a < b), est_jaccard.
+
+    Scale notes: band explode multiplies rows by ``bands`` but each row
+    is (int, hash) — narrow.  The groupby key (band_id, band_hash) is
+    uniform unless many exact dups share a band; the within-bucket pair
+    loop caps group size (huge buckets ⇒ exact-dup cluster ⇒ pairs
+    against the min doc only, not all-pairs).
+    """
+    rows_per_band = num_perm // bands
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        band_ids, band_hashes, doc_ids, sigs = [], [], [], []
+        for doc_id, sig in zip(batch["doc_id"].to_pylist(),
+                               batch["sig"].to_pylist()):
+            for b in range(bands):
+                chunk = tuple(sig[b * rows_per_band:(b + 1) * rows_per_band])
+                band_ids.append(b)
+                band_hashes.append(_stable_hash64(repr(chunk)) >> 1)
+                doc_ids.append(doc_id)
+                sigs.append(sig)
+        return pa.table({
+            "band_id": pa.array(band_ids, type=pa.int32()),
+            "band_hash": pa.array(band_hashes, type=pa.int64()),
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "sig": pa.array(sigs, type=pa.list_(pa.uint64())),
+        })
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        import pandas as pd
+        out_a, out_b, out_j = [], [], []
+        df = group.to_pandas()
+        for (_, _), g in df.groupby(["band_id", "band_hash"]):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            sigs = np.stack(g["sig"].to_numpy())
+            # anchor pairing vs the min doc: linear not quadratic in
+            # cluster size (exact-dup clusters can be huge)
+            est = (sigs[0:1] == sigs[1:]).mean(axis=1)
+            for i, e in enumerate(est, start=1):
+                if e >= threshold:
+                    out_a.append(int(ids[0]))
+                    out_b.append(int(ids[i]))
+                    out_j.append(float(e))
+        return pa.table({
+            "doc_a": pa.array(out_a, type=pa.int64()),
+            "doc_b": pa.array(out_b, type=pa.int64()),
+            "est_jaccard": pa.array(out_j, type=pa.float64()),
+        })
+
+    def pair_dedup(group: pa.Table) -> pa.Table:
+        agg = group.group_by(["doc_a", "doc_b"]).aggregate([("est_jaccard", "max")])
+        return agg.rename_columns(["doc_a", "doc_b", "est_jaccard"])
+
+    signed = ds.map_batches(MinHasher, fn_constructor_kwargs={
+        "num_perm": num_perm, "seed": seed, "shingle_k": shingle_k},
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    banded = signed.map_batches(to_bands, batch_format="pyarrow")
+    # coarse bucket on band_hash so each map_groups call is vectorized
+    banded = banded.map_batches(lambda t: t.append_column(
+        "bucket", pc.cast(pc.bit_wise_and(t["band_hash"], 63), pa.int32())),
+        batch_format="pyarrow")
+    pairs = banded.groupby("bucket").map_groups(bucket_pairs,
+                                                batch_format="pyarrow")
+    pairs = pairs.map_batches(lambda t: t.append_column(
+        "bucket", pc.cast(pc.bit_wise_and(t["doc_a"], 63), pa.int32())),
+        batch_format="pyarrow")
+    return pairs.groupby("bucket").map_groups(pair_dedup,
+                                              batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- simhash
+
+class SimHasher:
+    """64-bit SimHash over word unigrams+bigrams; stateful stage holds
+    nothing heavy but keeps the pattern (compiled once per actor)."""
+
+    def __init__(self):
+        pass
+
+    @staticmethod
+    def simhash(text: str) -> int:
+        words = text.lower().split()
+        feats = words + [" ".join(words[i:i + 2]) for i in range(len(words) - 1)]
+        if not feats:
+            return 0
+        v = np.zeros(64, dtype=np.int64)
+        for f in feats:
+            h = _stable_hash64(f)
+            bits = np.unpackbits(
+                np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
+            v += np.where(bits == 1, 1, -1)
+        return int("".join("1" if x > 0 else "0" for x in v), 2)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs = [self.simhash(t) for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "simhash": pa.array([h >> 1 for h in hs], type=pa.int64()),
+            # 4 bands of 16 bits for bucketing (Hamming ≤ 3 ⇒ at least
+            # one band identical, pigeonhole)
+            **{f"band{i}": pa.array([(h >> (16 * i)) & 0xFFFF for h in hs],
+                                    type=pa.int32()) for i in range(4)},
+        })
+
+
+def simhash_pairs(ds, max_hamming: int = 3):
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Bucket by each 16-bit band (pigeonhole guarantee for ≤3 bit diffs
+    over 4 bands), verify true Hamming distance within buckets.
+    """
+    signed = ds.map_batches(SimHasher, batch_format="pyarrow",
+                            concurrency=(1, 4), num_cpus=1)
+
+    def band_rows(batch: pa.Table, band: int) -> pa.Table:
+        return pa.table({
+            "band_key": pc.add(pc.cast(batch[f"band{band}"], pa.int64()),
+                               pa.scalar(band << 32, type=pa.int64())),
+            "doc_id": batch["doc_id"],
+            "simhash": batch["simhash"],
+        })
+
+    exploded = signed.map_batches(
+        lambda t: pa.concat_tables([band_rows(t, i) for i in range(4)]),
+        batch_format="pyarrow")
+    exploded = exploded.map_batches(lambda t: t.append_column(
+        "bucket", pc.cast(pc.bit_wise_and(t["band_key"], 63), pa.int32())),
+        batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        import pandas as pd
+        out_a, out_b, out_d = [], [], []
+        df = group.to_pandas()
+        for _, g in df.groupby("band_key"):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("doc_id").drop_duplicates("doc_id")
+            ids = g["doc_id"].to_numpy()
+            hs = g["simhash"].to_numpy().astype(np.uint64)
+            for i in range(len(ids)):
+                x = hs[i] ^ hs[i + 1:]
+                dist = np.array([bin(int(v)).count("1") for v in x])
+                for j in np.nonzero(dist <= max_hamming)[0]:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[i + 1 + j]))
+                    out_d.append(int(dist[j]))
+        return pa.table({
+            "doc_a": pa.array(out_a, type=pa.int64()),
+            "doc_b": pa.array(out_b, type=pa.int64()),
+            "hamming": pa.array(out_d, type=pa.int64()),
+        })
+
+    def pair_dedup(group: pa.Table) -> pa.Table:
+        agg = group.group_by(["doc_a", "doc_b"]).aggregate([("hamming", "min")])
+        return agg.rename_columns(["doc_a", "doc_b", "hamming"])
+
+    pairs = exploded.groupby("bucket").map_groups(bucket_pairs,
+                                                  batch_format="pyarrow")
+    pairs = pairs.map_batches(lambda t: t.append_column(
+        "bucket", pc.cast(pc.bit_wise_and(t["doc_a"], 63), pa.int32())),
+        batch_format="pyarrow")
+    return pairs.groupby("bucket").map_groups(pair_dedup,
+                                              batch_format="pyarrow")
+
+
+# ------------------------------------------------- exact Jaccard verify
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact word-k-gram Jaccard — the verifier for LSH candidates."""
+    a, b = _word_shingles(text_a, k), _word_shingles(text_b, k)
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)

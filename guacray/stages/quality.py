@@ -1,0 +1,205 @@
+"""Text-analysis operators over a documents table: language ID, quality
+scoring, token counting, fingerprinting.
+
+The GUAC analog is the guesser chain — cheap per-document classifiers
+that stamp metadata columns before parsing
+(/root/reference/pkg/handler/processor/guesser/guesser.go and the 8
+``type_*.go`` guessers).  All are stateless vectorized ``map_batches``
+stages except language-ID, which holds compiled profiles in actor state.
+
+Where a DuckDB-expressible formula exists, the Python implementation
+mirrors the SQL text operation-for-operation (same split semantics,
+same rounding) so the driver's value-hash comparison is exact.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.rounding import round_half_away
+
+# ------------------------------------------------------------ tokens
+
+_WORD_RE = re.compile(r"\w+|[^\w\s]")
+
+
+def token_counts(ds):
+    """doc_id, n_ws_tokens (split on single space — matches DuckDB
+    ``len(string_split(text,' '))``), n_re_tokens (BPE-ish regex
+    ``\\w+|[^\\w\\s]`` — matches ``regexp_extract_all``)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_ws_tokens": pa.array([len(t.split(" ")) for t in texts],
+                                    type=pa.int64()),
+            "n_re_tokens": pa.array([len(_WORD_RE.findall(t)) for t in texts],
+                                    type=pa.int64()),
+        })
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- quality
+
+def quality_scores(ds):
+    """Per-doc quality metrics, mirrored exactly by oracle SQL:
+
+      n_chars_txt  = length(text)
+      n_words      = len(string_split(text, ' '))
+      alpha_ratio  = round(len(regexp_replace(text,'[^a-z]','','g'))
+                           / n_chars_txt, 4)
+      mean_word_len= round((n_chars_txt - n_words + 1) / n_words, 4)
+      quality      = round(least(n_words,100)/100.0 * 0.7
+                           + alpha_ratio * 0.3, 4)
+    """
+    nonalpha = re.compile(r"[^a-z]")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n_chars = [len(t) for t in texts]
+        n_words = [len(t.split(" ")) for t in texts]
+        alpha = [round_half_away(len(nonalpha.sub("", t)) / max(c, 1), 4)
+                 for t, c in zip(texts, n_chars)]
+        mwl = [round_half_away((c - w + 1) / w, 4)
+               for c, w in zip(n_chars, n_words)]
+        q = [round_half_away(min(w, 100) / 100.0 * 0.7 + a * 0.3, 4)
+             for w, a in zip(n_words, alpha)]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars_txt": pa.array(n_chars, type=pa.int64()),
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "alpha_ratio": pa.array(alpha, type=pa.float64()),
+            "mean_word_len": pa.array(mwl, type=pa.float64()),
+            "quality": pa.array(q, type=pa.float64()),
+        })
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- fingerprints
+
+def norm_fingerprint(ds):
+    """Canonical-text fingerprint: md5(lower(ws-collapsed text)).
+    Groups documents that differ only in case/whitespace.
+    Output: fp, doc_id (min), n_docs.  SQL-checkable."""
+    import hashlib
+    ws = re.compile(r"\s+")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(ws.sub(" ", t.lower()).encode()).hexdigest()
+               for t in batch["text"].to_pylist()]
+        t = pa.table({"fp": pa.array(fps, type=pa.string()),
+                      "doc_id": batch["doc_id"]})
+        agg = t.group_by("fp").aggregate([("doc_id", "min"), ("fp", "count")])
+        agg = agg.rename_columns(["fp", "doc_id", "n_docs"])
+        bucket = pa.array([int(h[:8], 16) % 32 for h in agg["fp"].to_pylist()],
+                          type=pa.int32())
+        return agg.append_column("bucket", bucket)
+
+    def merge(group: pa.Table) -> pa.Table:
+        agg = group.group_by("fp").aggregate(
+            [("doc_id", "min"), ("n_docs", "sum")])
+        agg = agg.rename_columns(["fp", "doc_id", "n_docs"])
+        return agg.set_column(agg.schema.get_field_index("n_docs"), "n_docs",
+                              pc.cast(agg["n_docs"], pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow") \
+             .groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def winnow_fingerprints(ds, k: int = 5, window: int = 4):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003): rolling hash over char k-grams, per-window minimum.
+    Output: doc_id, fingerprints list<int64>.  Not SQL-expressible →
+    rows-only oracle; verified by unit test instead."""
+    import hashlib
+
+    def fingerprint(text: str) -> list[int]:
+        t = re.sub(r"\s+", " ", text.lower()).strip()
+        if len(t) < k:
+            return []
+        hs = [int.from_bytes(
+            hashlib.blake2b(t[i:i + k].encode(), digest_size=8).digest(),
+            "big") >> 1 for i in range(len(t) - k + 1)]
+        out, prev = [], None
+        for w in range(max(1, len(hs) - window + 1)):
+            m = min(hs[w:w + window])
+            if m != prev:
+                out.append(m)
+                prev = m
+        return out
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "fingerprints": pa.array(
+                [fingerprint(t) for t in batch["text"].to_pylist()],
+                type=pa.list_(pa.int64())),
+        })
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- language ID
+
+class LangID:
+    """Character-n-gram language identifier (van Noord / textcat-style
+    rank-order heuristic over trigram profiles), profiles built once per
+    actor from small seed word lists — no external models."""
+
+    SEEDS = {
+        "en": "the and of to in is you that it he was for on are as with "
+              "his they at be this have from or one had by word but not "
+              "what all were we when your can said there use an each which",
+        "es": "que de no a la el es y en lo un por qué me una te los se "
+              "con para mi está si bien pero yo eso las sí su como más",
+        "de": "der die und in den von zu das mit sich des auf für ist im "
+              "dem nicht ein eine als auch es an werden aus er hat dass",
+        "fr": "de la le et les des en un du une que est pour qui dans a "
+              "par plus pas au sur ne se ce il sont la vous je nous",
+    }
+
+    def __init__(self, top_n: int = 200):
+        self.profiles = {}
+        for lang, words in self.SEEDS.items():
+            grams: dict[str, int] = {}
+            text = " " + words.replace(" ", "  ") + " "
+            for n in (2, 3):
+                for i in range(len(text) - n + 1):
+                    g = text[i:i + n]
+                    grams[g] = grams.get(g, 0) + 1
+            ranked = sorted(grams, key=lambda g: (-grams[g], g))[:top_n]
+            self.profiles[lang] = {g: r for r, g in enumerate(ranked)}
+        self.top_n = top_n
+
+    def classify(self, text: str) -> str:
+        t = " " + re.sub(r"\s+", " ", text.lower())[:400] + " "
+        grams: dict[str, int] = {}
+        for n in (2, 3):
+            for i in range(len(t) - n + 1):
+                g = t[i:i + n]
+                grams[g] = grams.get(g, 0) + 1
+        sample = sorted(grams, key=lambda g: (-grams[g], g))[:self.top_n]
+        best, best_d = "unk", math.inf
+        for lang, prof in sorted(self.profiles.items()):
+            d = sum(abs(prof.get(g, self.top_n) - r)
+                    for r, g in enumerate(sample))
+            if d < best_d:
+                best, best_d = lang, d
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.classify(t) for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "lang_pred": pa.array(preds, type=pa.string()),
+        })
+
+
+def lang_id(ds, concurrency=(1, 4)):
+    return ds.map_batches(LangID, batch_format="pyarrow",
+                          concurrency=concurrency, num_cpus=1)

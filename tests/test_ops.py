@@ -1,0 +1,124 @@
+"""Operator tests: dedup family, quality/lang-id, ANN, grouped_agg.
+
+These mirror the reference's unit-test style (small hand-checkable
+inputs, golden expectations) for the training-data operators that have
+no SQL oracle.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from guacray.stages.agg import grouped_agg
+from guacray.stages.ann import brute_force_topk, lsh_topk, make_query_vector
+from guacray.stages.dedup import (MinHasher, exact_dedup, minhash_lsh_pairs,
+                                  ngram_jaccard, simhash_pairs)
+from guacray.stages.quality import LangID, winnow_fingerprints
+
+
+def _docs(texts):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+
+
+BASE = ("the quick brown fox jumps over the lazy dog while the "
+        "sun sets slowly behind the tall green hills of the valley")
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one-word edit
+FAR = ("completely unrelated content about database engines and "
+       "vectorized query execution with columnar storage formats")
+
+
+def test_exact_dedup():
+    ds = _docs([BASE, BASE, FAR, BASE])
+    out = ds and exact_dedup(ds).to_pandas().sort_values("doc_id")
+    assert len(out) == 2
+    base_row = out[out["doc_id"] == 0].iloc[0]
+    assert base_row["n_copies"] == 3
+    assert out[out["doc_id"] == 2].iloc[0]["n_copies"] == 1
+
+
+def test_minhash_estimates_jaccard():
+    mh = MinHasher(num_perm=128)
+    sa, sb = mh.signature(BASE), mh.signature(NEAR)
+    est = (sa == sb).mean()
+    true = ngram_jaccard(BASE, NEAR)
+    assert abs(est - true) < 0.25
+    sf = mh.signature(FAR)
+    assert (sa == sf).mean() < 0.2
+
+
+def test_minhash_lsh_pairs_finds_near_dups():
+    ds = _docs([BASE, NEAR, FAR])
+    pairs = minhash_lsh_pairs(ds, threshold=0.4).to_pandas()
+    assert {(0, 1)} == set(zip(pairs["doc_a"], pairs["doc_b"]))
+
+
+def test_simhash_pairs_finds_near_dups():
+    ds = _docs([BASE, NEAR, FAR])
+    pairs = simhash_pairs(ds, max_hamming=10).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 1) in got
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_winnow_fingerprints_ws_invariant():
+    ds = _docs([BASE, "  " + BASE.replace(" ", "   ") + " ", FAR])
+    out = winnow_fingerprints(ds).to_pandas().sort_values("doc_id")
+    fps = list(out["fingerprints"])
+    assert list(fps[0]) == list(fps[1])  # whitespace-normalized equal
+    assert list(fps[0]) != list(fps[2])
+
+
+def test_lang_id_classifies_clear_cases():
+    lid = LangID()
+    assert lid.classify("the cat sat on the mat and the dog was there") == "en"
+    assert lid.classify("el gato está en la casa y no quiere salir de ella") == "es"
+    assert lid.classify("der Hund ist in dem Haus und die Katze auch da") == "de"
+    assert lid.classify("le chat est dans la maison et les chiens sont là") == "fr"
+
+
+def test_grouped_agg_matches_pandas():
+    rng = np.random.RandomState(0)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 7, 1000),
+        "v": rng.standard_normal(1000),
+    })
+    out = grouped_agg(rd.from_pandas(df), ["k"], [
+        ("v", "sum", "v_sum"), ("v", "count", "n"),
+        ("v", "min", "v_min"), ("v", "max", "v_max"),
+    ]).to_pandas().sort_values("k").reset_index(drop=True)
+    exp = df.groupby("k").agg(v_sum=("v", "sum"), n=("v", "size"),
+                              v_min=("v", "min"), v_max=("v", "max")) \
+            .reset_index()
+    pd.testing.assert_frame_equal(out[exp.columns], exp,
+                                  check_dtype=False, atol=1e-9)
+
+
+def test_ann_lsh_subset_of_brute():
+    """LSH results must agree with brute-force sims and be drawn from
+    the probed subset (approximation affects recall, never values)."""
+    sf = "/root/testdata/sf0.001"
+    q = make_query_vector(64)
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    brute = brute_force_topk(ds, q, k=500).to_pandas()
+    lsh = lsh_topk(ds, q, k=50).to_pandas()
+    sims = dict(zip(brute["vec_id"], brute["cos_sim"]))
+    assert len(lsh) > 0
+    for vid, cs in zip(lsh["vec_id"], lsh["cos_sim"]):
+        assert abs(sims[vid] - cs) < 1e-9
+    # descending order
+    assert list(lsh["cos_sim"]) == sorted(lsh["cos_sim"], reverse=True)
+
+
+def test_entry_contract():
+    import __ray_entry__ as E
+    edges = E.entry()
+    n = edges.count()
+    assert n > 0
+    qs, sqls = E.queries(), E.oracle_sql()
+    assert set(sqls) <= set(qs)
+    assert len(sqls) >= 18
