@@ -5,12 +5,12 @@ assemble lifecycle (/root/reference/cmd/guacone/cmd/files.go:62-191 and
 SURVEY.md §3.1), end to end:
 
     read_parquet(pages)                      # collectors
-      → normalize (map_batches, Arrow)       # processor
-      → extract   (map_batches explode)      # parsers
-      → link      (actor pool)               # enrichment scanners
-      → add_ids   (map_batches)              # content-hash identity
-      → canonicalize (two-phase groupby)     # assembler dedup/upsert
-      → write_parquet nodes/ edges/ evidence/   # backend tables
+      → normalize → extract → link+ids       # processor+parsers+scanners
+        (fused into ONE actor-pool pass)     #   (content-hash identity)
+      → triples checkpoint (compacted parquet)
+      → canonicalize (combiner + ONE bucketed exchange → nodes+edges)
+      → write_parquet nodes/ edges/          # assembler backend tables
+        (evidence = projection view of the checkpoint)
 
 Everything is lazy/streaming until the writes; nothing materializes the
 full dataset on the driver.
@@ -25,8 +25,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from ..stages.canonicalize import (add_ids, edges_table, evidence_table,
-                                   nodes_table)
+from ..stages.canonicalize import edges_table, evidence_table, nodes_table
 from ..stages.extract import extract
 from ..stages.link import link
 from ..stages.normalize import normalize
@@ -34,19 +33,27 @@ from ..state.manifest import Manifest
 from .. import schemas
 
 
-def write_table(ds, out_dir: str, empty_schema=None) -> None:
+def write_table(ds, out_dir: str, empty_schema=None,
+                min_rows_per_file: int | None = None) -> None:
     """Overwrite-write a Dataset as a parquet dir, atomically.
 
     ``write_parquet`` appends part files into an existing dir; a rerun
     would silently double the table.  Write to a sibling tmp dir and
     swap via rename — readers never observe a half-written table and
     reruns are idempotent (the resumability contract).
+
+    ``min_rows_per_file`` compacts output (e.g. a checkpoint that will
+    be re-read by shuffles: hundreds of tiny files make every
+    downstream exchange pay #blocks² object transfers).
     """
     import shutil
     tmp = out_dir.rstrip("/") + ".__tmp__"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
-    ds.write_parquet(tmp)
+    kwargs = {}
+    if min_rows_per_file is not None:
+        kwargs["min_rows_per_file"] = min_rows_per_file
+    ds.write_parquet(tmp, **kwargs)
     if not any(f.endswith(".parquet") for f in os.listdir(tmp)):
         # empty dataset: write_parquet emits no files; persist an explicit
         # empty table so readers see a valid (0-row) parquet dir
@@ -67,14 +74,18 @@ def write_table(ds, out_dir: str, empty_schema=None) -> None:
 
 
 def linked_triples(pages_ds, alias_ref=None, link_concurrency=None):
-    """pages Dataset → linked + content-id'd triples Dataset."""
+    """pages Dataset → linked + content-id'd triples Dataset.
+
+    normalize → extract → link fuse into ONE actor-pool operator (id
+    stamping happens inside the linker), so each page is touched by
+    exactly one Python task chain with no intermediate serialization.
+    """
     ds = normalize(pages_ds)
     ds = extract(ds)
-    ds = link(ds, alias_ref=alias_ref, concurrency=link_concurrency)
-    return add_ids(ds)
+    return link(ds, alias_ref=alias_ref, concurrency=link_concurrency)
 
 
-def kg_datasets(pages_ds, alias_ref=None, num_buckets: int = 32,
+def kg_datasets(pages_ds, alias_ref=None, num_buckets: int | None = None,
                 link_concurrency=None) -> dict:
     """Wire the full pipeline; returns lazy Datasets keyed by table name.
 
@@ -98,38 +109,57 @@ def broadcast_alias_map(seed: int = 42):
     return ray.put(build_catalog(seed).alias_map())
 
 
-def run_kg(pages_path: str, out_dir: str, *, num_buckets: int = 32,
-           link_concurrency=None, seed: int = 42) -> dict:
-    """One-shot run: pages parquet → out_dir/{triples,nodes,edges,evidence}.
+def _dir_num_rows(d: str) -> int:
+    """Row count from parquet footers — no Ray job needed."""
+    return sum(pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+               for f in os.listdir(d) if f.endswith(".parquet"))
 
-    The linked-triples table is written once, then the canonicalization
-    shuffles read it back — so extract/link run exactly once, and the
-    triples parquet doubles as the resume checkpoint between the
-    embarrassingly-parallel phase and the shuffle phase.
-    Returns row counts per table.
+
+EVIDENCE_COLS = ["edge_id", "document_ref", "url", "warc_ts"]
+
+
+def evidence_view(out_dir: str):
+    """The evidence table is a pure projection of the triples
+    checkpoint — serving it as a pruned read of ``triples/`` avoids a
+    whole extra pass and a duplicate copy on disk (the reference keeps
+    provenance inline on every edge instead,
+    keyvalue/isDependency.go:46-56)."""
+    return rd.read_parquet(os.path.join(out_dir, "triples"),
+                           columns=EVIDENCE_COLS)
+
+
+def run_kg(pages_path: str, out_dir: str, *, num_buckets: int | None = None,
+           link_concurrency=None, seed: int = 42) -> dict:
+    """One-shot run: pages parquet → out_dir/{triples,nodes,edges}.
+
+    Three executions total, each streaming end-to-end:
+      1. read → normalize→extract→link (one fused actor pass) →
+         write compacted triples checkpoint (extract runs exactly once)
+      2. nodes  = combiner + bucketed exchange over the checkpoint
+      3. edges  = same
+    The evidence table is a projection view of the checkpoint
+    (``evidence_view``) — no fourth pass.  Returns row counts per table
+    (parquet footers, no extra Ray job).
     """
     alias_ref = broadcast_alias_map(seed)
     pages = rd.read_parquet(pages_path)
     triples = linked_triples(pages, alias_ref, link_concurrency)
     tri_dir = os.path.join(out_dir, "triples")
-    write_table(triples, tri_dir, schemas.TRIPLES)
-
+    write_table(triples, tri_dir, schemas.TRIPLES, min_rows_per_file=200_000)
     tri = rd.read_parquet(tri_dir)
-    counts = {"triples": tri.count()}
-    for name, builder in (("nodes", nodes_table), ("edges", edges_table)):
-        out = builder(tri, num_buckets)
-        write_table(out, os.path.join(out_dir, name),
-                    schemas.NODES if name == "nodes" else schemas.EDGES)
-        counts[name] = None
-    write_table(evidence_table(tri), os.path.join(out_dir, "evidence"),
-                schemas.EVIDENCE)
-    for name in ("nodes", "edges", "evidence"):
-        counts[name] = rd.read_parquet(os.path.join(out_dir, name)).count()
+
+    from ..stages.canonicalize import graph_tables
+    nodes, edges = graph_tables(tri, num_buckets)
+    write_table(nodes, os.path.join(out_dir, "nodes"), schemas.NODES)
+    write_table(edges, os.path.join(out_dir, "edges"), schemas.EDGES)
+    counts = {name: _dir_num_rows(os.path.join(out_dir, name))
+              for name in ("triples", "nodes", "edges")}
+    counts["evidence"] = counts["triples"]
     return counts
 
 
 def run_kg_resumable(pages_files: list[str], out_dir: str, *,
-                     num_buckets: int = 32, link_concurrency=None,
+                     num_buckets: int | None = None, link_concurrency=None,
                      seed: int = 42) -> dict:
     """Resumable run: one partition per input parquet file.
 
@@ -175,8 +205,7 @@ def run_kg_resumable(pages_files: list[str], out_dir: str, *,
                 schemas.NODES)
     write_table(edges_table(tri, num_buckets), os.path.join(out_dir, "edges"),
                 schemas.EDGES)
-    write_table(evidence_table(tri), os.path.join(out_dir, "evidence"),
-                schemas.EVIDENCE)
-    for name in ("nodes", "edges", "evidence"):
-        counts[name] = rd.read_parquet(os.path.join(out_dir, name)).count()
+    for name in ("nodes", "edges"):
+        counts[name] = _dir_num_rows(os.path.join(out_dir, name))
+    counts["evidence"] = sum(_dir_num_rows(d) for d in part_dirs)
     return counts

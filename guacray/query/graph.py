@@ -1,0 +1,237 @@
+"""Read-side graph query module over the materialized Parquet tables.
+
+The Ray-Data replacement for GUAC's GraphQL/REST query layer and
+analytics (SURVEY.md §2.6):
+
+  node lookup / filters   packages(PkgSpec)-style predicate pushdown
+                          (/root/reference/pkg/assembler/graphql/schema/
+                          package.graphql:120-246)
+  neighbors               backlink traversal (keyvalue/path.go:52-81)
+  bfs_path                path(subject,target,maxLen)
+                          (keyvalue/path.go:83-152)
+  top_dependents          dependents ranking = groupby+count+sort
+                          (pkg/dependencies/dependents.go:49-183)
+  find_nodes              findSoftware substring search
+                          (keyvalue/search.go)
+  reachable / blast_radius patch-planning frontier BFS
+                          (pkg/guacanalytics/patchPlanning.go:54-235)
+  toposort                Kahn's algorithm (guacanalytics/toposort.go:26-87)
+
+Design: filters/aggregates run distributed over the Parquet tables
+(predicate pushdown at the read); BFS-style traversals iterate frontier
+joins — each hop is a distributed semi-join of the edges table against
+the (small) frontier key set, so only the frontier ever sits on the
+driver, never the graph.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import deque
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+
+class GraphStore:
+    EVIDENCE_COLS = ["edge_id", "document_ref", "url", "warc_ts"]
+
+    def __init__(self, out_dir: str):
+        self.nodes_path = os.path.join(out_dir, "nodes")
+        self.edges_path = os.path.join(out_dir, "edges")
+        # evidence is served from a materialized dir when present, else
+        # as a pruned projection of the triples checkpoint (see
+        # pipelines.kg.evidence_view)
+        ev = os.path.join(out_dir, "evidence")
+        self.evidence_path = ev if os.path.isdir(ev) \
+            else os.path.join(out_dir, "triples")
+
+    # ---------------------------------------------------------- lookups
+
+    def nodes(self, *, node_type: str | None = None,
+              name_substr: str | None = None,
+              node_key: str | None = None):
+        """Filtered node scan — predicate pushdown to the parquet read
+        where possible, vectorized Arrow filter otherwise."""
+        flt = None
+        if node_type is not None:
+            flt = pc.field("node_type") == node_type
+        if node_key is not None:
+            f2 = pc.field("node_key") == node_key
+            flt = f2 if flt is None else flt & f2
+        ds = rd.read_parquet(self.nodes_path, filter=flt)
+        if name_substr is not None:
+            pat = name_substr
+            ds = ds.map_batches(
+                lambda t: t.filter(pc.match_substring(t["name"], pat,
+                                                      ignore_case=True)),
+                batch_format="pyarrow")
+        return ds
+
+    def find_nodes(self, search_text: str):
+        """findSoftware analog: case-insensitive substring over name/key."""
+        pat = search_text
+
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.or_(pc.match_substring(t["name"], pat, ignore_case=True),
+                       pc.match_substring(t["node_key"], pat, ignore_case=True))
+            return t.filter(m)
+        return rd.read_parquet(self.nodes_path).map_batches(
+            fn, batch_format="pyarrow")
+
+    def node_by_id(self, node_id: str):
+        return rd.read_parquet(self.nodes_path,
+                               filter=pc.field("node_id") == node_id)
+
+    # -------------------------------------------------------- neighbors
+
+    def neighbors(self, node_id: str, *, predicates: list[str] | None = None,
+                  direction: str = "both"):
+        """One-hop neighbor edges of a node, optionally filtered by
+        predicate (the ``usingOnly`` edge-enum filter)."""
+        flt = None
+        if direction in ("out", "both"):
+            flt = pc.field("subj_id") == node_id
+        if direction in ("in", "both"):
+            f2 = pc.field("obj_id") == node_id
+            flt = f2 if flt is None else flt | f2
+        if predicates:
+            flt = flt & pc.field("predicate").isin(predicates)
+        return rd.read_parquet(self.edges_path, filter=flt)
+
+    def _frontier_expand(self, frontier: set[str],
+                         predicates: list[str] | None,
+                         direction: str) -> pa.Table:
+        """Distributed semi-join: edges whose subject (resp. object) is
+        in the frontier.  The frontier is broadcast once per hop."""
+        ref = ray.put(pa.array(sorted(frontier)))
+
+        def fn(t: pa.Table) -> pa.Table:
+            fr = ray.get(ref)
+            m = None
+            if direction in ("out", "both"):
+                m = pc.is_in(t["subj_id"], value_set=fr)
+            if direction in ("in", "both"):
+                m2 = pc.is_in(t["obj_id"], value_set=fr)
+                m = m2 if m is None else pc.or_(m, m2)
+            if predicates:
+                m = pc.and_(m, pc.is_in(
+                    t["predicate"],
+                    value_set=pa.array(predicates)))
+            return t.filter(m)
+
+        ds = rd.read_parquet(self.edges_path).map_batches(
+            fn, batch_format="pyarrow")
+        return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+
+    # ------------------------------------------------------------- BFS
+
+    def bfs_path(self, src_id: str, dst_id: str, max_len: int = 10,
+                 predicates: list[str] | None = None) -> list[str] | None:
+        """Shortest path (undirected over directed edges, like the
+        reference's neighbors-based BFS).  Frontier iterates driver-side;
+        each hop's expansion is distributed."""
+        if src_id == dst_id:
+            return [src_id]
+        parent: dict[str, str] = {src_id: ""}
+        frontier = {src_id}
+        for _ in range(max_len):
+            if not frontier:
+                return None
+            edges = self._frontier_expand(frontier, predicates, "both")
+            nxt: set[str] = set()
+            for s, o in zip(edges["subj_id"].to_pylist(),
+                            edges["obj_id"].to_pylist()):
+                for a, b in ((s, o), (o, s)):
+                    if a in frontier and b not in parent:
+                        parent[b] = a
+                        nxt.add(b)
+            if dst_id in parent:
+                path = [dst_id]
+                while path[-1] != src_id:
+                    path.append(parent[path[-1]])
+                return list(reversed(path))
+            frontier = nxt
+        return None
+
+    def reachable(self, start_id: str, *, direction: str = "out",
+                  predicates: list[str] | None = None,
+                  max_depth: int = 10) -> dict[str, int]:
+        """Blast-radius / patch-planning frontier BFS: node_id → depth
+        (the SearchDependentsFromStartPackage shape)."""
+        depth = {start_id: 0}
+        frontier = {start_id}
+        for d in range(1, max_depth + 1):
+            if not frontier:
+                break
+            edges = self._frontier_expand(frontier, predicates, direction)
+            nxt: set[str] = set()
+            pairs = zip(edges["subj_id"].to_pylist(),
+                        edges["obj_id"].to_pylist())
+            for s, o in pairs:
+                if direction == "out":
+                    cand = [(s, o)]
+                elif direction == "in":
+                    cand = [(o, s)]
+                else:
+                    cand = [(s, o), (o, s)]
+                for a, b in cand:
+                    if a in frontier and b not in depth:
+                        depth[b] = d
+                        nxt.add(b)
+            frontier = nxt
+        return depth
+
+    def toposort(self, start_id: str, *, direction: str = "out",
+                 max_depth: int = 10) -> list[str]:
+        """Kahn's algorithm over the BFS-layered subgraph (driver-side —
+        the subgraph is the small result of a BFS).  As in the
+        reference (/root/reference/pkg/guacanalytics/toposort.go:26-87),
+        the order is over the BFS-derived DAG: only depth-increasing
+        edges constrain the order, so cycles in the raw graph cannot
+        starve the queue."""
+        depth = self.reachable(start_id, direction=direction,
+                               max_depth=max_depth)
+        nodes = set(depth)
+        edges = self._frontier_expand(nodes, None, "out")
+        adj: dict[str, list[str]] = {n: [] for n in nodes}
+        indeg = {n: 0 for n in nodes}
+        for s, o in zip(edges["subj_id"].to_pylist(),
+                        edges["obj_id"].to_pylist()):
+            if s in nodes and o in nodes and depth[s] < depth[o]:
+                adj[s].append(o)
+                indeg[o] += 1
+        q = deque(sorted(n for n in nodes if indeg[n] == 0))
+        out: list[str] = []
+        while q:
+            n = q.popleft()
+            out.append(n)
+            for m in sorted(adj[n]):
+                indeg[m] -= 1
+                if indeg[m] == 0:
+                    q.append(m)
+        return out
+
+    # ------------------------------------------------------- analytics
+
+    def top_dependents(self, k: int = 10,
+                       predicate: str = "works_at"):
+        """Top-k objects by in-degree for a predicate — the dependents
+        ranking (groupby → count → global top-k)."""
+        from ..stages.agg import grouped_agg
+        ds = rd.read_parquet(self.edges_path,
+                             filter=pc.field("predicate") == predicate,
+                             columns=["obj_id", "n_evidence", "predicate"])
+        out = grouped_agg(ds, ["obj_id"], [
+            ("predicate", "count", "n_edges"),
+            ("n_evidence", "sum", "n_mentions")])
+        return out.sort(["n_edges", "obj_id"],
+                        descending=[True, False]).limit(k)
+
+    def evidence_for_edge(self, edge_id: str):
+        """Provenance drill-down: evidence rows for one canonical edge."""
+        return rd.read_parquet(self.evidence_path,
+                               columns=self.EVIDENCE_COLS,
+                               filter=pc.field("edge_id") == edge_id)

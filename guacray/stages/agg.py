@@ -68,8 +68,12 @@ def grouped_agg(ds, keys: list[str] | str,
                 agg = agg.set_column(i, a, pc.cast(agg[a], pa.int64()))
         return agg
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("bucket").map_groups(merge, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)  # whole-block combiner
+    # coalesce tiny combiner outputs before the sort shuffle (it moves
+    # #map-blocks × #reduce-blocks objects; see canonicalize._exchange)
+    return partials.repartition(num_buckets).groupby("bucket") \
+        .map_groups(merge, batch_format="pyarrow")
 
 
 def broadcast_lookup(small_df):

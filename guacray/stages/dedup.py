@@ -59,8 +59,10 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             agg.schema.get_field_index("n_copies"), "n_copies",
             pc.cast(agg["n_copies"], pa.int64()))
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("bucket").map_groups(merge, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+    return partials.repartition(num_buckets).groupby("bucket") \
+        .map_groups(merge, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- minhash

@@ -67,7 +67,10 @@ class Linker:
                 cols[f"{side}_name"].append(name)
         for name, vals in cols.items():
             batch = batch.append_column(name, pa.array(vals, type=pa.string()))
-        return batch
+        # stamp content-hash ids here (fused into the same actor pass —
+        # a separate map operator would re-serialize the whole table)
+        from .canonicalize import add_ids_batch
+        return add_ids_batch(batch)
 
 
 def default_pool_size() -> tuple[int, int]:
@@ -80,10 +83,19 @@ def default_pool_size() -> tuple[int, int]:
     """
     import ray
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    return (1, max(2, cpus - 2))
+    # min = half the cluster: the autoscaler ramps from `min`, and a
+    # min of 1 leaves 31 CPUs idle for the first seconds of every run;
+    # max leaves 2 CPUs of headroom so downstream task operators can
+    # always make progress (a pool == cluster size deadlocks).
+    return (max(1, cpus // 2), max(2, cpus - 2))
 
 
-def link(ds, alias_ref=None, concurrency=None, batch_size: int = 4096):
+def link(ds, alias_ref=None, concurrency=None, batch_size: int = 512):
+    """batch_size is deliberately small: upstream normalize/extract fuse
+    into this actor stage, so the batch unit here is PAGES (≈1.5 ms of
+    UDF work each) — 512 keeps task granularity high enough that an
+    autoscaled pool stays busy instead of 30 actors idling behind 31
+    giant tasks."""
     if concurrency is None:
         concurrency = default_pool_size()
     return ds.map_batches(Linker, fn_constructor_kwargs={"alias_ref": alias_ref},

@@ -107,7 +107,8 @@ def norm_fingerprint(ds):
         return agg.set_column(agg.schema.get_field_index("n_docs"), "n_docs",
                               pc.cast(agg["n_docs"], pa.int64()))
 
-    return ds.map_batches(fn, batch_format="pyarrow") \
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None) \
+             .repartition(32) \
              .groupby("bucket").map_groups(merge, batch_format="pyarrow")
 
 

@@ -1,0 +1,134 @@
+"""Graph query module + sources + multimodal plumbing tests.
+
+Mirrors the reference's e2e golden-query pattern: build a small graph,
+run fixed queries, compare normalized results
+(/root/reference/internal/testing/e2e/e2e:112-190).
+"""
+
+import os
+
+import pytest
+import ray.data as rd
+
+from guacray.data.pages import generate_pages
+from guacray.data.reference import reference_graph
+from guacray.functions.keys import entity_key, node_id
+from guacray.pipelines.kg import kg_datasets, write_table
+from guacray.query.graph import GraphStore
+from guacray import schemas
+
+
+@pytest.fixture(scope="module")
+def store(small_pages, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("graph"))
+    out = kg_datasets(rd.from_arrow(small_pages))
+    write_table(out["nodes"], os.path.join(d, "nodes"), schemas.NODES)
+    write_table(out["edges"], os.path.join(d, "edges"), schemas.EDGES)
+    write_table(out["evidence"], os.path.join(d, "evidence"), schemas.EVIDENCE)
+    return GraphStore(d)
+
+
+ACME = node_id(entity_key("org", "Acme Corp"))
+
+
+def test_node_filters(store, small_pages):
+    orgs = store.nodes(node_type="org").to_pandas()
+    ref_nodes, _ = reference_graph(small_pages)
+    assert len(orgs) == sum(1 for n in ref_nodes if n["node_type"] == "org")
+    hit = store.nodes(node_key=entity_key("org", "Acme Corp")).to_pandas()
+    assert len(hit) == 1 and hit.iloc[0]["name"] == "Acme Corp"
+
+
+def test_find_nodes_substring(store):
+    got = store.find_nodes("acme").to_pandas()
+    assert ACME in set(got["node_id"])
+
+
+def test_neighbors_match_reference(store, small_pages):
+    _, ref_edges = reference_graph(small_pages)
+    exp_in = {e["edge_id"] for e in ref_edges if e["obj_id"] == ACME}
+    exp_out = {e["edge_id"] for e in ref_edges if e["subj_id"] == ACME}
+    got = store.neighbors(ACME).to_pandas()
+    assert set(got["edge_id"]) == exp_in | exp_out
+    got_works = store.neighbors(ACME, predicates=["works_at"]).to_pandas()
+    assert set(got_works["edge_id"]) == \
+        {e["edge_id"] for e in ref_edges
+         if e["predicate"] == "works_at" and ACME in (e["subj_id"], e["obj_id"])}
+
+
+def test_bfs_path_and_reachable(store, small_pages):
+    _, ref_edges = reference_graph(small_pages)
+    # pick an edge and check the trivial 2-node path
+    e = ref_edges[0]
+    path = store.bfs_path(e["subj_id"], e["obj_id"], max_len=3)
+    assert path is not None and path[0] == e["subj_id"] \
+        and path[-1] == e["obj_id"] and len(path) == 2
+    # reachable from Acme covers at least its direct neighborhood
+    depth = store.reachable(ACME, direction="both", max_depth=2)
+    direct = ({e["subj_id"] for e in ref_edges if e["obj_id"] == ACME} |
+              {e["obj_id"] for e in ref_edges if e["subj_id"] == ACME}) \
+        - {ACME}  # self-loops (alias → same canonical) stay at depth 0
+    assert direct <= set(depth)
+    assert all(depth[n] == 1 for n in direct)
+    assert depth[ACME] == 0
+
+
+def test_top_dependents(store, small_pages):
+    _, ref_edges = reference_graph(small_pages)
+    import collections
+    cnt = collections.Counter(e["obj_id"] for e in ref_edges
+                              if e["predicate"] == "works_at")
+    got = store.top_dependents(k=5, predicate="works_at").to_pandas()
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(got["obj_id"], got["n_edges"])) == exp
+
+
+def test_toposort_runs(store):
+    order = store.toposort(ACME, direction="out", max_depth=3)
+    # Kahn's algorithm: outputs the acyclic part, each node once; the
+    # synthetic graph contains cycles (mutual acquisitions), so only
+    # check the topological contract, not full coverage.
+    assert len(order) > 0
+    assert len(order) == len(set(order))
+    reach = set(store.reachable(ACME, direction="out", max_depth=3))
+    assert set(order) <= reach
+
+
+def test_evidence_drilldown(store, small_pages):
+    _, ref_edges = reference_graph(small_pages)
+    e = max(ref_edges, key=lambda x: x["n_evidence"])
+    ev = store.evidence_for_edge(e["edge_id"]).to_pandas()
+    assert len(ev) == e["n_evidence"]
+    assert all(r.startswith("sha256_") for r in ev["document_ref"])
+
+
+def test_jsonlines_explode(tmp_path):
+    import ray.data as rd
+    from guacray.sources.readers import explode_jsonlines, read_binary_docs
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"a": 1}\n\nnot json\n{"b": 2}\n')
+    ds = read_binary_docs(str(p))
+    out = explode_jsonlines(ds).to_pandas().sort_values("line_no")
+    assert len(out) == 3  # blank line skipped
+    assert list(out["error"].str.len() > 0) == [False, True, False]
+
+
+def test_multimodal_fake_decode():
+    import ray.data as rd
+    from guacray.stages.multimodal import (MediaDecoder,
+                                           extract_media_features,
+                                           synth_media_table)
+    media = synth_media_table(32)
+    feats = extract_media_features(rd.from_arrow(media)).to_pandas()
+    assert len(feats) == 32
+    assert all(len(f) == MediaDecoder.FEAT_DIM for f in feats["features"])
+    # deterministic per payload content
+    again = extract_media_features(rd.from_arrow(media)).to_pandas()
+    a = feats.sort_values("media_id").reset_index(drop=True)
+    b = again.sort_values("media_id").reset_index(drop=True)
+    assert (a["payload_sha256"] == b["payload_sha256"]).all()
+    assert all(list(x) == list(y) for x, y in zip(a["features"], b["features"]))
+    # real decoder is an explicit stub
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        MediaDecoder(decoder="real")
