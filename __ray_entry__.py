@@ -66,6 +66,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": R.events_hourly,
         "events_user_topk": R.events_user_topk,
         "events_sessions": R.events_sessions,
+        "events_gap_us": R.events_gap_us,
+        "events_distinct_users": R.events_distinct_users,
+        "lineitem_quantiles": R.lineitem_quantiles,
+        "mention_topk": R.mention_topk,
         # training-data ops over documents (SQL-checked)
         "doc_exact_dedup": R.doc_exact_dedup,
         "doc_token_counts": R.doc_token_counts,

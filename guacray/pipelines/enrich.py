@@ -1,0 +1,216 @@
+"""Incremental enrichment loop — the certifier analog.
+
+GUAC's certifier loop polls the graph for components that need
+(re)scanning, fans out registered certifiers (OSV / scorecard / CD /
+EOL), and feeds the resulting attestations back through ingestion —
+a graph → scan → new-edges feedback loop
+(/root/reference/pkg/certifier/certify/certify.go:60-194,
+components/root_package/root_package.go:53-191; scan scheduling via
+``findPackagesThatNeedScanning`` + lastScan horizon).
+
+Ray-Data re-expression (an incremental re-run, not a service):
+  1. read the nodes table, filter by type + stale-scan horizon
+     (timestamp filter = the ``lastScan`` query; scan state lives in a
+     small parquet sidecar, not on the node rows)
+  2. actor-pool enrich stage (rate-limitable client held per actor —
+     the OSV/deps.dev client pattern) → new triples
+  3. canonicalize the new triples and MERGE into the existing
+     nodes/edges tables (union + keyed dedup; content-hash identity
+     makes the merge idempotent, so replays are safe)
+  4. commit the scan state atomically
+
+The enrichment "service" here is deterministic and local (no network
+in this environment): it categorizes entities by a stable hash.  A real
+deployment swaps ``FakeEnrichmentClient`` for an HTTP client; the Ray
+plumbing is identical.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from .. import schemas
+from ..functions.hashing import content_id
+from ..functions.keys import entity_key, node_id
+from ..stages.canonicalize import resolve_buckets
+from .kg import _dir_num_rows, write_table
+
+_CATEGORIES = ["alpha", "beta", "gamma", "delta", "epsilon",
+               "zeta", "eta", "theta", "iota", "kappa"]
+ENRICH_PREDICATE = "categorized_as"
+
+
+class FakeEnrichmentClient:
+    """Deterministic stand-in for an external scan API (OSV-shaped:
+    batched queries, client-side rate limit, per-actor cache —
+    /root/reference/pkg/certifier/osv/osv.go:42-46,106-151)."""
+
+    def __init__(self, requests_per_sec: float | None = None):
+        self.requests_per_sec = requests_per_sec
+        self._last = 0.0
+        self.cache: dict[str, str] = {}
+
+    def categorize(self, node_key: str) -> str:
+        hit = self.cache.get(node_key)
+        if hit is None:
+            if self.requests_per_sec:
+                wait = self._last + 1.0 / self.requests_per_sec - time.time()
+                if wait > 0:
+                    time.sleep(wait)
+                self._last = time.time()
+            hit = _CATEGORIES[int(content_id("cat", node_key)[:8], 16)
+                              % len(_CATEGORIES)]
+            self.cache[node_key] = hit
+        return hit
+
+
+class Enricher:
+    """Actor-pool stage: node rows → enrichment edge (+node) rows."""
+
+    def __init__(self, requests_per_sec: float | None = None):
+        self.client = FakeEnrichmentClient(requests_per_sec)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.keys import edge_id as _edge_id
+        subj, pred, obj, okey, oname = [], [], [], [], []
+        for nid, nkey in zip(batch["node_id"].to_pylist(),
+                             batch["node_key"].to_pylist()):
+            cat = self.client.categorize(nkey)
+            ckey = entity_key("category", cat)
+            subj.append(nid)
+            pred.append(ENRICH_PREDICATE)
+            obj.append(node_id(ckey))
+            okey.append(ckey)
+            oname.append(cat)
+        return pa.table({
+            "subj_id": pa.array(subj, type=pa.string()),
+            "predicate": pa.array(pred, type=pa.string()),
+            "obj_id": pa.array(obj, type=pa.string()),
+            "obj_key": pa.array(okey, type=pa.string()),
+            "obj_name": pa.array(oname, type=pa.string()),
+        })
+
+
+def _scan_state_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "scan_state")
+
+
+def nodes_needing_scan(out_dir: str, *, node_type: str,
+                       rescan_after_s: float, now: float):
+    """The ``findPackagesThatNeedScanning`` analog: typed nodes whose
+    last scan is older than the horizon (or never scanned).  Scan state
+    is broadcast (it is node-count sized but narrow; a Bloom filter at
+    extreme scale)."""
+    nodes = rd.read_parquet(os.path.join(out_dir, "nodes"),
+                            filter=pc.field("node_type") == node_type)
+    state = _scan_state_path(out_dir)
+    fresh: set[str] = set()
+    if os.path.isdir(state):
+        st = rd.read_parquet(state).to_pandas()
+        cutoff = now - rescan_after_s
+        fresh = set(st[st["last_scan_unix"] >= cutoff]["node_id"])
+    if not fresh:
+        return nodes
+    ref = ray.put(pa.array(sorted(fresh)))
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t["node_id"],
+                                           value_set=ray.get(ref))))
+    return nodes.map_batches(fn, batch_format="pyarrow")
+
+
+def run_enrichment(out_dir: str, *, node_type: str = "org",
+                   rescan_after_s: float = 24 * 3600.0,
+                   concurrency=(1, 4), now: float | None = None) -> dict:
+    """One certifier pass. Returns counts {scanned, new_edges_total}.
+
+    Merging uses union + keyed dedup — identical content keys collapse,
+    so running this twice (or crashing between steps and rerunning) is
+    idempotent, exactly like GUAC's at-least-once queue + content-keyed
+    upsert (SURVEY.md §3.3)."""
+    now = time.time() if now is None else now
+    todo = nodes_needing_scan(out_dir, node_type=node_type,
+                              rescan_after_s=rescan_after_s, now=now)
+    # collect the scan list NOW: the merge below atomically replaces the
+    # nodes dir, invalidating this lazy read's resolved file paths
+    scanned = todo.select_columns(["node_id"]).to_pandas()
+    todo = todo.materialize()
+    n_todo = len(scanned)
+    if n_todo == 0:
+        return {"scanned": 0,
+                "edges_total": _dir_num_rows(os.path.join(out_dir, "edges"))}
+
+    enriched = todo.map_batches(Enricher, batch_format="pyarrow",
+                                batch_size=1024, concurrency=concurrency,
+                                num_cpus=1).materialize()
+
+    # new edge rows (n_evidence=0: derived, not page evidence;
+    # first_seen = null — enrichment is not event-timed)
+    def to_edges(t: pa.Table) -> pa.Table:
+        from ..functions.keys import edge_id as _edge_id
+        eids = [_edge_id(s, p, o) for s, p, o in
+                zip(t["subj_id"].to_pylist(), t["predicate"].to_pylist(),
+                    t["obj_id"].to_pylist())]
+        return pa.table({
+            "edge_id": pa.array(eids, type=pa.string()),
+            "subj_id": t["subj_id"], "predicate": t["predicate"],
+            "obj_id": t["obj_id"],
+            "first_seen": pa.nulls(t.num_rows, type=schemas.TS),
+            "n_evidence": pa.array([0] * t.num_rows, type=pa.int64()),
+        })
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node_id": t["obj_id"], "node_key": t["obj_key"],
+            "node_type": pa.array(["category"] * t.num_rows,
+                                  type=pa.string()),
+            "name": t["obj_name"],
+        })
+
+    new_edges = enriched.map_batches(to_edges, batch_format="pyarrow")
+    new_nodes = enriched.map_batches(to_nodes, batch_format="pyarrow")
+
+    # merge: union with existing table, keyed dedup (existing wins on
+    # ties via min — content-equal anyway), atomic overwrite
+    nb = resolve_buckets(None)
+    for name, new_ds, key, schema in (
+            ("edges", new_edges, "edge_id", schemas.EDGES),
+            ("nodes", new_nodes, "node_id", schemas.NODES)):
+        existing = rd.read_parquet(os.path.join(out_dir, name))
+        merged = existing.union(new_ds)
+
+        def bucketed(t: pa.Table, key=key) -> pa.Table:
+            b = pa.array([int(h[:8], 16) % nb for h in t[key].to_pylist()],
+                         type=pa.int32())
+            return t.append_column("bucket", b)
+
+        def dedup(t: pa.Table, key=key) -> pa.Table:
+            cols = [c for c in t.column_names if c not in (key, "bucket")]
+            agg = t.group_by(key).aggregate([(c, "min") for c in cols])
+            return agg.rename_columns([key] + cols)
+
+        merged = merged.map_batches(bucketed, batch_format="pyarrow") \
+            .repartition(nb).groupby("bucket") \
+            .map_groups(dedup, batch_format="pyarrow")
+        write_table(merged, os.path.join(out_dir, name), schema)
+
+    # commit scan state (atomic via write_table)
+    scanned["last_scan_unix"] = now
+    state_path = _scan_state_path(out_dir)
+    old = rd.read_parquet(state_path).to_pandas() \
+        if os.path.isdir(state_path) else None
+    import pandas as pd
+    st = scanned if old is None else (
+        pd.concat([old, scanned]).sort_values("last_scan_unix")
+          .drop_duplicates("node_id", keep="last"))
+    write_table(rd.from_pandas(st.reset_index(drop=True)), state_path)
+
+    return {"scanned": n_todo,
+            "edges_total": _dir_num_rows(os.path.join(out_dir, "edges"))}

@@ -28,7 +28,8 @@ import ray
 import ray.data as rd
 
 from ..functions.rounding import pc_round
-from ..stages.agg import grouped_agg, map_side_join, semi_join_filter
+from ..stages.agg import (auto_join, grouped_agg, map_side_join,
+                          semi_join_filter)
 from ..stages.ann import brute_force_topk, lsh_topk, make_query_vector
 from ..stages.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
 from ..stages.quality import (lang_id, norm_fingerprint, quality_scores,
@@ -85,9 +86,9 @@ def q1_pricing_summary(sf_dir: str):
 def top_orders_by_revenue(sf_dir: str):
     """q3-ish: top 10 BUILDING-segment orders by revenue.
 
-    Semi-join filter by broadcast custkey set, then a hash-partitioned
-    ``Dataset.join`` lineitem ⋈ orders (the big-big join path), grouped
-    revenue, global top-k."""
+    Semi-join filter by broadcast custkey set, then ``auto_join``
+    lineitem ⋈ orders (broadcast below threshold, hash-partitioned
+    ``Dataset.join`` above), grouped revenue, global top-k."""
     cust = rd.read_parquet(_t(sf_dir, "customer"),
                            columns=["c_custkey", "c_mktsegment"])
     cust = cust.map_batches(
@@ -105,8 +106,7 @@ def top_orders_by_revenue(sf_dir: str):
             t["l_extendedprice"],
             pc.subtract(pa.scalar(1.0), t["l_discount"]))),
         batch_format="pyarrow").select_columns(["l_orderkey", "revenue_item"])
-    joined = li.join(orders, "inner", num_partitions=8,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = auto_join(li, orders, on="l_orderkey", right_on="o_orderkey")
     out = grouped_agg(joined, ["l_orderkey", "o_orderdate", "o_orderpriority"],
                       [("revenue_item", "sum", "revenue")])
     out = out.map_batches(_round_cols(2, "revenue"), batch_format="pyarrow")
@@ -268,6 +268,67 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 64):
         return out
 
     return ds.groupby("bucket").map_groups(sessionize, batch_format="pandas")
+
+
+def events_gap_us(sf_dir: str, num_buckets: int = 64):
+    """Lag window: microseconds since the user's previous event (-1 for
+    the first).  The per-key ordered-window pattern: hash-bucket by
+    user, vectorized pandas diff within each bucket."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts"])
+    ds = ds.map_batches(
+        lambda t: t.append_column("bucket", pc.cast(
+            pc.bit_wise_and(t["user_id"], num_buckets - 1), pa.int32())),
+        batch_format="pyarrow")
+
+    def lag_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        gap = df.groupby("user_id", sort=False)["ts"].diff()
+        df["gap_us"] = (gap.dt.total_seconds() * 1_000_000) \
+            .round().fillna(-1).astype("int64")
+        return df[["event_id", "user_id", "gap_us"]]
+
+    return ds.groupby("bucket").map_groups(lag_fn, batch_format="pandas")
+
+
+def lineitem_quantiles(sf_dir: str):
+    """Holistic (non-algebraic) aggregate: per-flag median/p90 quantity.
+    Quantiles need the full group — expressed as groupby().map_groups
+    over the (low-cardinality) flag key; numpy 'linear' interpolation
+    matches DuckDB quantile_cont."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_quantity"])
+
+    def q(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.rounding import round_half_away
+        v = df["l_quantity"].to_numpy()
+        return pd.DataFrame({
+            "l_returnflag": [df["l_returnflag"].iloc[0]],
+            "median_qty": [round_half_away(float(np.percentile(v, 50)), 4)],
+            "p90_qty": [round_half_away(float(np.percentile(v, 90)), 4)],
+        })
+
+    return ds.groupby("l_returnflag").map_groups(q, batch_format="pandas")
+
+
+def events_distinct_users(sf_dir: str):
+    """count(DISTINCT) via two-level exchange: dedup (type, user) pairs
+    first (combiner collapses per block), then count per type."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "user_id"])
+    pairs = grouped_agg(ds, ["event_type", "user_id"],
+                        [("user_id", "count", "n")])
+    out = grouped_agg(pairs, ["event_type"], [("user_id", "count", "n_users")])
+    return out
+
+
+def mention_topk(sf_dir: str, k: int = 5):
+    """Explode → group → global top-k (the dependents-ranking shape on
+    the extraction output)."""
+    out = grouped_agg(doc_mentions(sf_dir), ["mention"],
+                      [("doc_id", "count", "n_mentions")])
+    return out.sort(["n_mentions", "mention"],
+                    descending=[True, False]).limit(k)
 
 
 # --------------------------------------------------------------- documents
@@ -476,6 +537,32 @@ SQL: dict[str, str] = {
                min(ts) AS session_start, max(ts) AS session_end
         FROM s GROUP BY user_id, session_num
     """,
+    "events_gap_us": """
+        SELECT event_id, user_id,
+               coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)), -1)
+                   AS gap_us
+        FROM events
+    """,
+    "lineitem_quantiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+               round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "events_distinct_users": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
+    "mention_topk": """
+        SELECT mention, count(*) AS n_mentions FROM (
+            SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> x IN {vocab})) AS mention
+            FROM documents)
+        GROUP BY mention
+        ORDER BY n_mentions DESC, mention
+        LIMIT 5
+    """.format(vocab="(" + ", ".join(f"'{w}'" for w in MENTION_VOCAB) + ")"),
     "doc_exact_dedup": """
         SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
                count(*) AS n_copies

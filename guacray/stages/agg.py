@@ -108,6 +108,34 @@ def map_side_join(ds, small_ref, on: str | list[str], how: str = "inner",
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def auto_join(left, right, *, on: str, right_on: str,
+              num_partitions: int | None = None,
+              broadcast_threshold: int = 2_000_000):
+    """Size-aware inner join (the planner decision GUAC never needs —
+    its joins are all client-side ID substitution).
+
+    If the right side is below ``broadcast_threshold`` rows it is
+    collected and broadcast (map-side hash join: no shuffle, no
+    aggregator actors); otherwise fall back to the hash-partitioned
+    ``Dataset.join``.  At 100 TB the threshold keeps dimension-sized
+    sides on the broadcast path and fact-fact joins on the shuffle path.
+    """
+    import ray
+    n_right = right.count()
+    if n_right <= broadcast_threshold:
+        import pandas as pd
+        small = right.to_pandas()
+        ref = ray.put(small)
+
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(ray.get(ref), left_on=on, right_on=right_on)
+        return left.map_batches(fn, batch_format="pandas")
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    return left.join(right, "inner", num_partitions=num_partitions,
+                     on=(on,), right_on=(right_on,))
+
+
 def semi_join_filter(ds, key_set_ref, col: str, anti: bool = False):
     """Semi/anti join by broadcast key set (GUAC's visited-set pattern,
     /root/reference/pkg/ingestor/parser/parser.go:216-220).  At larger
