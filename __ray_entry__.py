@@ -80,7 +80,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search (SQL-checked brute force; LSH rows-only)
         "ann_brute_topk": R.ann_brute_topk,
         "embedding_label_counts": R.embedding_label_counts,
+        "embedding_centroids": R.embedding_centroids,
         "ann_lsh_topk": R.ann_lsh_topk,
+        "doc_sample": R.doc_sample,
+        "media_features": R.media_features,
         # near-dup sketches (rows-only; correctness in pytest)
         "doc_minhash_pairs": R.doc_minhash_pairs,
         "doc_simhash_pairs": R.doc_simhash_pairs,

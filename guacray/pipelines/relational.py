@@ -434,6 +434,46 @@ def ann_lsh_topk(sf_dir: str, k: int = 50):
     return lsh_topk(ds, q, k=k)
 
 
+def embedding_centroids(sf_dir: str):
+    from ..stages.ann import label_centroids
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["label", "embedding"])
+    return label_centroids(ds)
+
+
+def doc_sample(sf_dir: str, fraction: float = 0.2, seed: int = 7):
+    """Seeded random sample (rows-only oracle: RNGs differ across
+    engines by construction)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "n_chars"])
+    return ds.random_sample(fraction, seed=seed)
+
+
+def media_features(sf_dir: str, n: int = 128):
+    """Multimodal plumbing query: deterministic fake media table →
+    actor-pool decode/feature stage (rows-only; decode kernel stubbed —
+    see stages/multimodal.py)."""
+    from ..stages.multimodal import extract_media_features, synth_media_table
+    media = rd.from_arrow(synth_media_table(n))
+    feats = extract_media_features(media)
+
+    # summarize the vector column to scalars (list cells don't survive
+    # order-insensitive hashing/sorting in compare harnesses)
+    def summarize(t: pa.Table) -> pa.Table:
+        arrs = [np.asarray(f, dtype=np.float64)
+                for f in t["features"].to_pylist()]
+        return pa.table({
+            "media_id": t["media_id"],
+            "kind": t["kind"],
+            "payload_sha256": t["payload_sha256"],
+            "feat_dim": pa.array([len(a) for a in arrs], type=pa.int64()),
+            "feat_norm": pa.array(
+                [round(float(np.linalg.norm(a)), 4) for a in arrs],
+                type=pa.float64()),
+        })
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
 def embedding_label_counts(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "embeddings"),
                          columns=["label", "vec_id"])
@@ -613,5 +653,11 @@ SQL: dict[str, str] = {
     """,
     "embedding_label_counts": """
         SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
+    """,
+    "embedding_centroids": """
+        SELECT label, i.i AS dim,
+               round(avg(embedding[i.i]), 4) AS avg_v
+        FROM embeddings, range(1, 65) i(i)
+        GROUP BY label, i.i
     """,
 }

@@ -59,6 +59,56 @@ def brute_force_topk(ds, query: np.ndarray, k: int = 50, round_dp: int = 4):
     return out.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
 
 
+def label_centroids(ds, dim: int = 64, round_dp: int = 4):
+    """Per-label embedding centroids, exploded to (label, dim, avg_v).
+
+    Algebraic vector aggregate: each batch emits one (sum-vector, count)
+    per label (numpy add.reduceat-style matmul), the exchange merges
+    sums — the mergeable-sketch pattern from the Ray guide applied to
+    dense vectors.  Output explodes to scalar rows so the result is
+    SQL-comparable (DuckDB: avg(embedding[i]) grouped by label, i).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.rounding import np_round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        emb = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        uniq = np.unique(labels)
+        sums = np.stack([emb[labels == u].sum(axis=0) for u in uniq])
+        counts = np.array([(labels == u).sum() for u in uniq], dtype=np.int64)
+        return pa.table({
+            "label": pa.array(uniq.astype("int32")),
+            "vsum": pa.array([s.tolist() for s in sums],
+                             type=pa.list_(pa.float64())),
+            "n": pa.array(counts, type=pa.int64()),
+            "bucket": pa.array((uniq.astype("int64") % 16).astype("int32")),
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = group.to_pandas()
+        rows = {"label": [], "dim": [], "avg_v": []}
+        for label, g in df.groupby("label"):
+            vs = np.stack(g["vsum"].to_numpy()).sum(axis=0)
+            avg = np_round_half_away(vs / g["n"].sum(), round_dp)
+            rows["label"].extend([int(label)] * dim)
+            rows["dim"].extend(range(1, dim + 1))
+            rows["avg_v"].extend(avg.tolist())
+        return pa.table({
+            "label": pa.array(rows["label"], type=pa.int32()),
+            "dim": pa.array(rows["dim"], type=pa.int64()),
+            "avg_v": pa.array(rows["avg_v"], type=pa.float64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+    return partials.repartition(16).groupby("bucket") \
+        .map_groups(merge, batch_format="pyarrow")
+
+
 class HyperplaneLSH:
     """Random-hyperplane signature stage for bucketed ANN.
 
