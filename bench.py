@@ -117,7 +117,16 @@ def run_scaling() -> dict:
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     lo_cpu, hi_cpu = 8, 32
-    lo, hi = run_at(lo_cpu), run_at(hi_cpu)
+    # interleave levels over two rounds and take the per-level best:
+    # this box has noisy neighbors (ambient loadavg >4 while idle), so
+    # time-adjacent pairs + min damp the machine-level variance
+    lo = hi = None
+    for _ in range(2):
+        r_lo, r_hi = run_at(lo_cpu), run_at(hi_cpu)
+        if lo is None or r_lo["value"] < lo["value"]:
+            lo = r_lo
+        if hi is None or r_hi["value"] < hi["value"]:
+            hi = r_hi
     tput_lo = lo["triples_per_sec"]
     tput_hi = hi["triples_per_sec"]
     eff = (tput_hi / tput_lo) / (hi_cpu / lo_cpu)

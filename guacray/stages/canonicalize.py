@@ -45,7 +45,7 @@ def resolve_buckets(num_buckets: int | None) -> int:
     if num_buckets is not None:
         return num_buckets
     import ray
-    return max(DEFAULT_BUCKETS, 2 * int(ray.cluster_resources().get("CPU", 16)))
+    return max(DEFAULT_BUCKETS, int(ray.cluster_resources().get("CPU", 16)))
 
 
 def _exchange(partials, merge_fn, num_buckets: int):

@@ -48,3 +48,26 @@ def normalize(ds, batch_size: int = 256):
     """pages Dataset → normalized docs Dataset (html dropped)."""
     return ds.map_batches(normalize_batch, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def quarantined(ds, batch_size: int = 256):
+    """Dead-letter dataset: the rows the gate rejects, with a reason.
+
+    The reference logs-and-skips poison documents
+    (/root/reference/cmd/guacingest/cmd/ingest.go:121-140); keeping them
+    as a queryable Dataset (→ parquet next to the graph tables) is the
+    batch-engine upgrade of that: reprocessable, auditable, and the
+    row counts reconcile (gated + normalized == input)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        bad = batch.filter(
+            pc.invert(pc.is_in(batch["lang"], value_set=_LANGS)))
+        reason = pa.array(["lang_not_accepted"] * bad.num_rows,
+                          type=pa.string())
+        return pa.table({
+            "url": bad["url"],
+            "warc_ts": bad["warc_ts"],
+            "lang": bad["lang"],
+            "reason": reason,
+        })
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          batch_size=batch_size)

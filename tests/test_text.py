@@ -50,3 +50,15 @@ def test_pages_generator_deterministic():
     assert a.equals(b)
     c = generate_pages(32, seed=7)
     assert not a.equals(c)
+
+
+def test_quarantine_reconciles(tiny_pages):
+    """gated + normalized == input (dead-letter completeness)."""
+    import ray.data as rd
+    from guacray.stages.normalize import normalize, quarantined
+    ds = rd.from_arrow(tiny_pages)
+    n_ok = normalize(ds).count()
+    bad = quarantined(ds).to_pandas()
+    assert n_ok + len(bad) == tiny_pages.num_rows
+    assert (bad["reason"] == "lang_not_accepted").all()
+    assert set(bad["lang"]) == {"zz"}
