@@ -42,6 +42,11 @@ def _kg(sf_dir: str, table: str):
     return kg_datasets(pages, alias_ref=broadcast_alias_map())[table]
 
 
+def _kg_identifiers(sf_dir: str):
+    from guacray.stages.extract import identifier_strings
+    return identifier_strings(_kg(sf_dir, "triples"))
+
+
 def entry() -> Any:
     """Flagship: KG construction (pages → canonical edges) at sf0.001,
     plus a smoke read of the driver-provided documents table."""
@@ -94,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": lambda sf: _kg(sf, "nodes"),
         "kg_edges": lambda sf: _kg(sf, "edges"),
         "kg_evidence": lambda sf: _kg(sf, "evidence"),
+        "kg_identifiers": _kg_identifiers,
     }
     return q
 

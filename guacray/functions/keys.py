@@ -53,6 +53,28 @@ def fallback_key(surface: str) -> str:
     return "ent:unknown::" + urllib.parse.quote(surface.strip().lower(), safe="")
 
 
+def parse_entity_key(key: str) -> tuple[str, str, dict[str, str]]:
+    """Inverse of ``entity_key`` — (etype, slug, qualifiers).
+
+    The round-trip analog of PkgToPurl/PurlToPkg
+    (/root/reference/pkg/assembler/helpers/purl.go:101-151): a canonical
+    key must decompose losslessly so trie-level rollups (group by type,
+    type+slug, …) are plain column operations.
+    """
+    if not key.startswith("ent:"):
+        raise ValueError(f"not an entity key: {key!r}")
+    body = key[4:]
+    parts = body.split("::")
+    etype = parts[0]
+    slug = parts[1] if len(parts) > 1 else EMPTY
+    quals: dict[str, str] = {}
+    if len(parts) > 2 and parts[2]:
+        for kv in parts[2].split("&"):
+            k, _, v = kv.partition("=")
+            quals[k] = v
+    return etype, slug, quals
+
+
 def node_id(node_key: str) -> str:
     return content_id("node", node_key)
 

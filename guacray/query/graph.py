@@ -230,6 +230,55 @@ class GraphStore:
         return out.sort(["n_edges", "obj_id"],
                         descending=[True, False]).limit(k)
 
+    def nodes_page(self, *, after_node_id: str = "", limit: int = 100,
+                   node_type: str | None = None):
+        """Cursor-based pagination over nodes ordered by node_id — the
+        connections/pageInfo pattern (/root/reference/pkg/assembler/
+        graphql/schema/pagination.graphql).  Returns (rows, next_cursor);
+        next_cursor is None on the last page.  Stateless: the cursor is
+        the last node_id, so pages are stable under concurrent appends
+        (content-hash ids never reorder)."""
+        flt = pc.field("node_id") > after_node_id
+        if node_type is not None:
+            flt = flt & (pc.field("node_type") == node_type)
+        ds = rd.read_parquet(self.nodes_path, filter=flt)
+        rows = ds.sort("node_id").limit(limit + 1).to_pandas()
+        has_next = len(rows) > limit
+        rows = rows.iloc[:limit]
+        cursor = rows["node_id"].iloc[-1] if has_next and len(rows) else None
+        return rows, cursor
+
+    def delete_edges(self, edge_ids: list[str]) -> int:
+        """Tombstone + compaction delete — the reference supports delete
+        for a subset of edge kinds (schema/delete.graphql; keyvalue
+        panics otherwise).  Here: filtered rewrite of the edges table
+        (atomic swap) + an append-only tombstone log so lineage shows
+        WHAT was removed.  Returns number of edges removed."""
+        import json
+        import time as _t
+
+        from ..pipelines.kg import write_table
+        from .. import schemas
+
+        ids = pa.array(sorted(set(edge_ids)))
+        ref = ray.put(ids)
+        before = rd.read_parquet(self.edges_path).count()
+
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.invert(pc.is_in(t["edge_id"],
+                                               value_set=ray.get(ref))))
+        remaining = rd.read_parquet(self.edges_path).map_batches(
+            fn, batch_format="pyarrow")
+        write_table(remaining, self.edges_path, schemas.EDGES)
+        after = rd.read_parquet(self.edges_path).count()
+        log = os.path.join(os.path.dirname(self.edges_path),
+                           "_tombstones.jsonl")
+        with open(log, "a") as f:
+            f.write(json.dumps({"ts_unix": round(_t.time(), 3),
+                                "edge_ids": sorted(set(edge_ids)),
+                                "removed": before - after}) + "\n")
+        return before - after
+
     def evidence_for_edge(self, edge_id: str):
         """Provenance drill-down: evidence rows for one canonical edge."""
         return rd.read_parquet(self.evidence_path,

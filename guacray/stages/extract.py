@@ -51,3 +51,41 @@ def extract(ds, batch_size: int = 512):
     """normalized docs Dataset → raw triples Dataset (exploded)."""
     return ds.map_batches(extract_batch, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def identifier_strings(triples_ds, num_buckets: int = 32):
+    """Distinct mention surfaces with counts — the collectsub feedback
+    feed (parsers push found identifier strings so collectors can
+    discover new work, /root/reference/pkg/ingestor/ingestor.go:189-201,
+    pkg/collectsub/collectsub/collectsub.proto:21-58).  In-doc exact
+    dedup (RemoveDuplicateIdentifiers, common/helpers.go:121-149)
+    generalized to corpus-wide two-phase dedup.
+
+    Output: surface, n_mentions.
+    """
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.concat_tables([
+            pa.table({"surface": batch["subj_surface"]}),
+            pa.table({"surface": batch["obj_surface"]}),
+        ])
+        agg = t.group_by("surface").aggregate([("surface", "count")])
+        agg = agg.rename_columns(["surface", "n_mentions"])
+        import hashlib
+        bucket = pa.array(
+            [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=4)
+                            .digest(), "big") % num_buckets
+             for s in agg["surface"].to_pylist()], type=pa.int32())
+        return agg.append_column("bucket", bucket)
+
+    def merge(group: pa.Table) -> pa.Table:
+        agg = group.group_by("surface").aggregate([("n_mentions", "sum")])
+        agg = agg.rename_columns(["surface", "n_mentions"])
+        return agg.set_column(1, "n_mentions",
+                              pc.cast(agg["n_mentions"], pa.int64()))
+
+    return triples_ds.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=None) \
+        .repartition(num_buckets).groupby("bucket") \
+        .map_groups(merge, batch_format="pyarrow")

@@ -40,3 +40,14 @@ def test_ids_pinned():
 def test_id_injectivity_separator():
     # SEP prevents ("ab","c") colliding with ("a","bc")
     assert content_id("ab", "c") != content_id("a", "bc")
+
+
+def test_parse_entity_key_roundtrip():
+    from guacray.functions.keys import parse_entity_key
+    assert parse_entity_key(entity_key("Org", "Acme Corp")) == \
+        ("org", "acme-corp", {})
+    k = entity_key("org", "Acme", {"b": "2", "a": "1"})
+    assert parse_entity_key(k) == ("org", "acme", {"a": "1", "b": "2"})
+    import pytest
+    with pytest.raises(ValueError):
+        parse_entity_key("pkg:npm/foo")

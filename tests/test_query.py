@@ -132,3 +132,54 @@ def test_multimodal_fake_decode():
     import pytest as _pt
     with _pt.raises(NotImplementedError):
         MediaDecoder(decoder="real")
+
+
+def test_pagination_cursor(store):
+    seen = []
+    cursor = ""
+    pages_count = 0
+    while True:
+        rows, cursor = store.nodes_page(after_node_id=cursor or "",
+                                        limit=50, node_type="person")
+        seen.extend(rows["node_id"])
+        pages_count += 1
+        if cursor is None:
+            break
+    all_persons = store.nodes(node_type="person").to_pandas()
+    assert sorted(seen) == sorted(all_persons["node_id"])
+    assert len(seen) == len(set(seen))
+    assert pages_count >= 2  # actually paginated
+
+
+def test_delete_edges_tombstone(store, small_pages, tmp_path):
+    # operate on a private copy: other tests share `store`
+    import shutil
+    import ray.data as rd
+    from guacray.query.graph import GraphStore
+    d = str(tmp_path / "graph_del")
+    shutil.copytree(os.path.dirname(store.edges_path), d)
+    s2 = GraphStore(d)
+    edges = rd.read_parquet(s2.edges_path).to_pandas()
+    victims = sorted(edges["edge_id"])[:5]
+    removed = s2.delete_edges(victims)
+    assert removed == 5
+    after = rd.read_parquet(s2.edges_path).to_pandas()
+    assert set(after["edge_id"]) == set(edges["edge_id"]) - set(victims)
+    import json
+    log = open(os.path.join(d, "_tombstones.jsonl")).read().strip()
+    assert json.loads(log)["removed"] == 5
+
+
+def test_identifier_strings(small_pages):
+    import collections
+    import ray.data as rd
+    from guacray.data.reference import reference_triples
+    from guacray.pipelines.kg import linked_triples
+    from guacray.stages.extract import identifier_strings
+    tri = linked_triples(rd.from_arrow(small_pages))
+    got = identifier_strings(tri).to_pandas()
+    ref = collections.Counter()
+    for t in reference_triples(small_pages):
+        ref[t["subj_surface"]] += 1
+        ref[t["obj_surface"]] += 1
+    assert dict(zip(got["surface"], got["n_mentions"])) == dict(ref)
