@@ -230,6 +230,35 @@ class GraphStore:
         return out.sort(["n_edges", "obj_id"],
                         descending=[True, False]).limit(k)
 
+    def two_hop(self, predicate1: str, predicate2: str):
+        """Distributed 2-hop join chain: (a)-[p1]->(b)-[p2]->(c).
+
+        The SBOM-vuln-search shape (sboms ⋈ deps ⋈ vulns,
+        /root/reference/pkg/guacanalytics/searchForSBOM.go:35-456) as a
+        dataset self-join on the edges table — size-aware ``auto_join``
+        on b = hop1.obj_id == hop2.subj_id.  Unlike the frontier BFS,
+        nothing touches the driver; both sides stream.
+
+        Output: a_id, b_id, c_id.
+        """
+        from ..stages.agg import auto_join
+        hop1 = rd.read_parquet(
+            self.edges_path, columns=["subj_id", "obj_id", "predicate"],
+            filter=pc.field("predicate") == predicate1)
+        hop1 = hop1.map_batches(
+            lambda t: pa.table({"a_id": t["subj_id"], "b_id": t["obj_id"]}),
+            batch_format="pyarrow")
+        hop2 = rd.read_parquet(
+            self.edges_path, columns=["subj_id", "obj_id", "predicate"],
+            filter=pc.field("predicate") == predicate2)
+        hop2 = hop2.map_batches(
+            lambda t: pa.table({"b2_id": t["subj_id"], "c_id": t["obj_id"]}),
+            batch_format="pyarrow")
+        joined = auto_join(hop1, hop2, on="b_id", right_on="b2_id")
+        return joined.map_batches(
+            lambda t: t.select(["a_id", "b_id", "c_id"]),
+            batch_format="pyarrow")
+
     def nodes_page(self, *, after_node_id: str = "", limit: int = 100,
                    node_type: str | None = None):
         """Cursor-based pagination over nodes ordered by node_id — the

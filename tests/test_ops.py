@@ -122,3 +122,63 @@ def test_entry_contract():
     qs, sqls = E.queries(), E.oracle_sql()
     assert set(sqls) <= set(qs)
     assert len(sqls) >= 18
+
+
+def test_hll_approx_distinct():
+    import ray.data as rd
+    from guacray.stages.sketches import HLL, approx_distinct
+    # mergeability: sketch(A ∪ B) == merge(sketch(A), sketch(B))
+    a, b, c = HLL(), HLL(), HLL()
+    a.add_strings([f"x{i}" for i in range(5000)])
+    b.add_strings([f"x{i}" for i in range(2500, 7500)])
+    c.add_strings([f"x{i}" for i in range(7500)])
+    assert (a.merge(b).registers == c.registers).all()
+    est = c.estimate()
+    assert abs(est - 7500) / 7500 < 0.05
+    # distributed path vs exact
+    ds = rd.range(20000).map_batches(
+        lambda d: {"u": (d["id"] % 3777).astype("int64")},
+        batch_format="numpy")
+    est2 = approx_distinct(ds, "u")
+    assert abs(est2 - 3777) / 3777 < 0.05
+
+
+def test_hot_key_combiner_collapses():
+    """Skew defence: a block full of one hot edge contributes ONE
+    partial row to the shuffle (FIXTURES.md §3.7)."""
+    import pyarrow as pa
+    from guacray.stages.canonicalize import _edge_partial_batch
+    n = 10000
+    batch = pa.table({
+        "edge_id": pa.array(["ab12" * 8] * n),
+        "subj_id": pa.array(["s"] * n),
+        "predicate": pa.array(["works_at"] * n),
+        "obj_id": pa.array(["o"] * n),
+        "warc_ts": pa.array([1000 + (i % 7) for i in range(n)],
+                            type=pa.timestamp("us", tz="UTC")),
+    })
+    out = _edge_partial_batch(batch, 32)
+    assert out.num_rows == 1
+    assert out["n_evidence"][0].as_py() == n
+
+
+def test_two_hop_join(small_pages, tmp_path):
+    import os
+    import ray.data as rd
+    from guacray import schemas
+    from guacray.data.reference import reference_graph
+    from guacray.pipelines.kg import kg_datasets, write_table
+    from guacray.query.graph import GraphStore
+    d = str(tmp_path / "g2")
+    out = kg_datasets(rd.from_arrow(small_pages))
+    write_table(out["edges"], os.path.join(d, "edges"), schemas.EDGES)
+    store = GraphStore(d)
+    got = store.two_hop("works_at", "located_in").to_pandas()
+    _, ref_edges = reference_graph(small_pages)
+    h1 = [(e["subj_id"], e["obj_id"]) for e in ref_edges
+          if e["predicate"] == "works_at"]
+    h2 = {(e["subj_id"], e["obj_id"]) for e in ref_edges
+          if e["predicate"] == "located_in"}
+    exp = {(a, b, c) for a, b in h1 for (b2, c) in h2 if b2 == b}
+    assert set(map(tuple, got[["a_id", "b_id", "c_id"]].values)) == exp
+    assert len(exp) > 0
