@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_topk": R.events_user_topk,
         "events_sessions": R.events_sessions,
         "events_gap_us": R.events_gap_us,
+        "events_sliding_avg": R.events_sliding_avg,
         "events_distinct_users": R.events_distinct_users,
         "lineitem_quantiles": R.lineitem_quantiles,
         "mention_topk": R.mention_topk,

@@ -34,7 +34,8 @@ from .. import schemas
 
 
 def write_table(ds, out_dir: str, empty_schema=None,
-                min_rows_per_file: int | None = None) -> None:
+                min_rows_per_file: int | None = None,
+                partition_cols: list[str] | None = None) -> None:
     """Overwrite-write a Dataset as a parquet dir, atomically.
 
     ``write_parquet`` appends part files into an existing dir; a rerun
@@ -53,8 +54,11 @@ def write_table(ds, out_dir: str, empty_schema=None,
     kwargs = {}
     if min_rows_per_file is not None:
         kwargs["min_rows_per_file"] = min_rows_per_file
+    if partition_cols:
+        kwargs["partition_cols"] = partition_cols
     ds.write_parquet(tmp, **kwargs)
-    if not any(f.endswith(".parquet") for f in os.listdir(tmp)):
+    if not partition_cols and not any(
+            f.endswith(".parquet") for f in os.listdir(tmp)):
         # empty dataset: write_parquet emits no files; persist an explicit
         # empty table so readers see a valid (0-row) parquet dir
         import pyarrow as pa
@@ -110,9 +114,14 @@ def broadcast_alias_map(seed: int = 42):
 
 
 def _dir_num_rows(d: str) -> int:
-    """Row count from parquet footers — no Ray job needed."""
-    return sum(pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
-               for f in os.listdir(d) if f.endswith(".parquet"))
+    """Row count from parquet footers (recursive — handles hive
+    partitioning) — no Ray job needed."""
+    total = 0
+    for root, _, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
 
 
 EVIDENCE_COLS = ["edge_id", "document_ref", "url", "warc_ts"]
@@ -129,7 +138,8 @@ def evidence_view(out_dir: str):
 
 
 def run_kg(pages_path: str, out_dir: str, *, num_buckets: int | None = None,
-           link_concurrency=None, seed: int = 42) -> dict:
+           link_concurrency=None, seed: int = 42,
+           partition_edges_by_predicate: bool = False) -> dict:
     """One-shot run: pages parquet → out_dir/{triples,nodes,edges}.
 
     Three executions total, each streaming end-to-end:
@@ -151,7 +161,12 @@ def run_kg(pages_path: str, out_dir: str, *, num_buckets: int | None = None,
     from ..stages.canonicalize import graph_tables
     nodes, edges = graph_tables(tri, num_buckets)
     write_table(nodes, os.path.join(out_dir, "nodes"), schemas.NODES)
-    write_table(edges, os.path.join(out_dir, "edges"), schemas.EDGES)
+    # per-predicate hive partitioning (SURVEY §7.1 step 6) lets
+    # predicate-filtered queries prune whole directories; off by default
+    # because hive-partitioned dirs change the raw file layout
+    write_table(edges, os.path.join(out_dir, "edges"), schemas.EDGES,
+                partition_cols=["predicate"]
+                if partition_edges_by_predicate else None)
     counts = {name: _dir_num_rows(os.path.join(out_dir, name))
               for name in ("triples", "nodes", "edges")}
     counts["evidence"] = counts["triples"]

@@ -291,6 +291,35 @@ def events_gap_us(sf_dir: str, num_buckets: int = 64):
     return ds.groupby("bucket").map_groups(lag_fn, batch_format="pandas")
 
 
+def events_sliding_avg(sf_dir: str, window_s: int = 3600,
+                       num_buckets: int = 64):
+    """Sliding event-time window: per-event trailing-1h average of
+    `value` within the user's own stream.  Ray Data has no window
+    operator; the expression is hash-bucket by key + per-bucket
+    vectorized pandas time-rolling over (user, ts)-sorted rows —
+    equivalent to SQL `RANGE INTERVAL 1 HOUR PRECEDING`."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(
+        lambda t: t.append_column("bucket", pc.cast(
+            pc.bit_wise_and(t["user_id"], num_buckets - 1), pa.int32())),
+        batch_format="pyarrow")
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.rounding import round_half_away
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        out = []
+        for _, g in df.groupby("user_id", sort=False):
+            r = (g.set_index("ts")["value"]
+                  .rolling(f"{window_s}s", closed="both").mean())
+            gg = g.copy()
+            gg["avg_1h"] = [round_half_away(v, 4) for v in r.to_numpy()]
+            out.append(gg[["event_id", "user_id", "avg_1h"]])
+        return pd.concat(out, ignore_index=True)
+
+    return ds.groupby("bucket").map_groups(roll, batch_format="pandas")
+
+
 def lineitem_quantiles(sf_dir: str):
     """Holistic (non-algebraic) aggregate: per-flag median/p90 quantity.
     Quantiles need the full group — expressed as groupby().map_groups
@@ -582,6 +611,13 @@ SQL: dict[str, str] = {
                coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER
                    (PARTITION BY user_id ORDER BY ts, event_id)), -1)
                    AS gap_us
+        FROM events
+    """,
+    "events_sliding_avg": """
+        SELECT event_id, user_id,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW), 4) AS avg_1h
         FROM events
     """,
     "lineitem_quantiles": """

@@ -87,6 +87,48 @@ class GraphStore:
 
     # -------------------------------------------------------- neighbors
 
+    def _read_edges(self, *, predicates: list[str] | None = None, flt=None):
+        """Layout-aware edges read.
+
+        Flat layout: predicate filter pushed into the parquet scan.
+        Hive layout (``edges/predicate=<p>/``): prune by DIRECTORY —
+        only the requested predicates' subtrees are read at all, and the
+        partition column is restored as a constant column (Ray's filter
+        pushdown cannot bind partition-only fields)."""
+        subdirs = [d for d in os.listdir(self.edges_path)
+                   if d.startswith("predicate=")] \
+            if os.path.isdir(self.edges_path) else []
+        if not subdirs:
+            if predicates:
+                p = pc.field("predicate").isin(predicates)
+                flt = p if flt is None else flt & p
+            return rd.read_parquet(self.edges_path, filter=flt)
+        wanted = predicates or [d.split("=", 1)[1] for d in subdirs]
+        parts = []
+        for pred in wanted:
+            d = os.path.join(self.edges_path, f"predicate={pred}")
+            if not os.path.isdir(d):
+                continue
+            ds = rd.read_parquet(d, filter=flt)
+
+            def restore(t: pa.Table, pred=pred) -> pa.Table:
+                # Ray may or may not have derived the partition column
+                # from the path; normalize to a plain string column
+                col = pa.array([pred] * t.num_rows, type=pa.string())
+                if "predicate" in t.column_names:
+                    return t.set_column(
+                        t.schema.get_field_index("predicate"),
+                        "predicate", col)
+                return t.append_column("predicate", col)
+            parts.append(ds.map_batches(restore, batch_format="pyarrow"))
+        if not parts:
+            raise FileNotFoundError(
+                f"no edge partitions for predicates={predicates}")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+
     def neighbors(self, node_id: str, *, predicates: list[str] | None = None,
                   direction: str = "both"):
         """One-hop neighbor edges of a node, optionally filtered by
@@ -97,9 +139,7 @@ class GraphStore:
         if direction in ("in", "both"):
             f2 = pc.field("obj_id") == node_id
             flt = f2 if flt is None else flt | f2
-        if predicates:
-            flt = flt & pc.field("predicate").isin(predicates)
-        return rd.read_parquet(self.edges_path, filter=flt)
+        return self._read_edges(predicates=predicates, flt=flt)
 
     def _frontier_expand(self, frontier: set[str],
                          predicates: list[str] | None,
@@ -116,13 +156,9 @@ class GraphStore:
             if direction in ("in", "both"):
                 m2 = pc.is_in(t["obj_id"], value_set=fr)
                 m = m2 if m is None else pc.or_(m, m2)
-            if predicates:
-                m = pc.and_(m, pc.is_in(
-                    t["predicate"],
-                    value_set=pa.array(predicates)))
             return t.filter(m)
 
-        ds = rd.read_parquet(self.edges_path).map_batches(
+        ds = self._read_edges(predicates=predicates).map_batches(
             fn, batch_format="pyarrow")
         return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
 
@@ -221,9 +257,8 @@ class GraphStore:
         """Top-k objects by in-degree for a predicate — the dependents
         ranking (groupby → count → global top-k)."""
         from ..stages.agg import grouped_agg
-        ds = rd.read_parquet(self.edges_path,
-                             filter=pc.field("predicate") == predicate,
-                             columns=["obj_id", "n_evidence", "predicate"])
+        ds = self._read_edges(predicates=[predicate]).select_columns(
+            ["obj_id", "n_evidence", "predicate"])
         out = grouped_agg(ds, ["obj_id"], [
             ("predicate", "count", "n_edges"),
             ("n_evidence", "sum", "n_mentions")])
@@ -242,16 +277,10 @@ class GraphStore:
         Output: a_id, b_id, c_id.
         """
         from ..stages.agg import auto_join
-        hop1 = rd.read_parquet(
-            self.edges_path, columns=["subj_id", "obj_id", "predicate"],
-            filter=pc.field("predicate") == predicate1)
-        hop1 = hop1.map_batches(
+        hop1 = self._read_edges(predicates=[predicate1]).map_batches(
             lambda t: pa.table({"a_id": t["subj_id"], "b_id": t["obj_id"]}),
             batch_format="pyarrow")
-        hop2 = rd.read_parquet(
-            self.edges_path, columns=["subj_id", "obj_id", "predicate"],
-            filter=pc.field("predicate") == predicate2)
-        hop2 = hop2.map_batches(
+        hop2 = self._read_edges(predicates=[predicate2]).map_batches(
             lambda t: pa.table({"b2_id": t["subj_id"], "c_id": t["obj_id"]}),
             batch_format="pyarrow")
         joined = auto_join(hop1, hop2, on="b_id", right_on="b2_id")

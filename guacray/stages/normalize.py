@@ -25,22 +25,39 @@ from ..functions.text import ACCEPTED_LANGS, extract_text
 _LANGS = pa.array(sorted(ACCEPTED_LANGS), type=pa.string())
 
 
+def guess_kind(blob: bytes) -> str:
+    """Document-kind guesser — the GuessDocument analog
+    (/root/reference/pkg/handler/processor/guesser/guesser.go): cheap
+    structural sniffing, stamped as a metadata column (it never gates —
+    malformed HTML still yields best-effort text, matching the
+    reference's permissive per-type guesser chain)."""
+    if b"</html>" not in blob:
+        return "malformed"
+    if b"<article" in blob or b"<p>" in blob:
+        return "article"
+    return "page"
+
+
 def normalize_batch(batch: pa.Table) -> pa.Table:
-    """Arrow in / Arrow out. Output: url, warc_ts, document_ref, text, lang."""
+    """Arrow in / Arrow out.
+    Output: url, warc_ts, document_ref, text, lang, kind."""
     batch = batch.filter(pc.is_in(batch["lang"], value_set=_LANGS))
     html_col = batch["html"]
     texts = []
     drefs = []
+    kinds = []
     for i in range(batch.num_rows):
         blob = html_col[i].as_py()
         texts.append(extract_text(blob))
         drefs.append(document_ref(blob))
+        kinds.append(guess_kind(blob))
     return pa.table({
         "url": batch["url"],
         "warc_ts": batch["warc_ts"],
         "document_ref": pa.array(drefs, type=pa.string()),
         "text": pa.array(texts, type=pa.string()),
         "lang": batch["lang"],
+        "kind": pa.array(kinds, type=pa.string()),
     })
 
 

@@ -83,3 +83,35 @@ def test_bucket_count_invariance(small_pages):
     ea = _norm(a["edges"].to_pandas(), "edge_id")
     eb = _norm(b["edges"].to_pandas(), "edge_id")
     pd.testing.assert_frame_equal(ea, eb[ea.columns])
+
+
+def test_partitioned_edges_by_predicate(small_pages_path, tmp_path):
+    """Hive-partitioned edge layout: same table contents, per-predicate
+    directory pruning for filtered reads (SURVEY §7.1 step 6)."""
+    import os
+    from guacray.pipelines.kg import run_kg
+    from guacray.query.graph import GraphStore
+
+    flat = str(tmp_path / "flat")
+    part = str(tmp_path / "part")
+    c1 = run_kg(small_pages_path, flat)
+    c2 = run_kg(small_pages_path, part, partition_edges_by_predicate=True)
+    assert c1 == c2
+    dirs = os.listdir(os.path.join(part, "edges"))
+    assert any(d.startswith("predicate=") for d in dirs)
+
+    e1 = rd.read_parquet(os.path.join(flat, "edges")).to_pandas()
+    e2 = rd.read_parquet(os.path.join(part, "edges")).to_pandas()
+    cols = ["edge_id", "subj_id", "predicate", "obj_id", "n_evidence"]
+    a = e1[cols].astype({"predicate": str}).sort_values("edge_id").reset_index(drop=True)
+    b = e2[cols].astype({"predicate": str}).sort_values("edge_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # predicate-filtered query works identically on both layouts
+    sa = GraphStore(flat)
+    sb = GraphStore(part)
+    from guacray.functions.keys import entity_key, node_id
+    acme = node_id(entity_key("org", "Acme Corp"))
+    na = sa.neighbors(acme, predicates=["works_at"]).to_pandas()
+    nb = sb.neighbors(acme, predicates=["works_at"]).to_pandas()
+    assert set(na["edge_id"]) == set(nb["edge_id"])

@@ -62,3 +62,13 @@ def test_quarantine_reconciles(tiny_pages):
     assert n_ok + len(bad) == tiny_pages.num_rows
     assert (bad["reason"] == "lang_not_accepted").all()
     assert set(bad["lang"]) == {"zz"}
+
+
+def test_guess_kind(tiny_pages):
+    import ray.data as rd
+    from guacray.stages.normalize import guess_kind, normalize
+    assert guess_kind(b"<html><body><h1>x<p>y") == "malformed"
+    assert guess_kind(b"<html><body><p>y</p></body></html>") == "article"
+    out = normalize(rd.from_arrow(tiny_pages)).to_pandas()
+    assert set(out["kind"]) <= {"article", "malformed", "page"}
+    assert (out["kind"] == "malformed").sum() >= 1  # error-path fixture
