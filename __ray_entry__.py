@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": R.ann_lsh_topk,
         "doc_sample": R.doc_sample,
         "media_features": R.media_features,
+        "embedding_near_dup_pairs": R.embedding_near_dup_pairs,
+        "doc_curation_report": R.doc_curation_report,
         # near-dup sketches (rows-only; correctness in pytest)
         "doc_minhash_pairs": R.doc_minhash_pairs,
         "doc_simhash_pairs": R.doc_simhash_pairs,

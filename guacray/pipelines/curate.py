@@ -1,0 +1,90 @@
+"""Composed training-data curation pipeline over a documents table.
+
+The showpiece composition of the training-data operators — the shape a
+100 TB pretraining-data run takes:
+
+    read(documents)
+      → language-ID (actor pool)                 # keep lang_pred == lang-allowlist
+      → quality scoring (vectorized)             # keep quality ≥ min_quality
+      → exact dedup (two-phase exchange)         # canonical copy per text
+      → near-dup removal (MinHash-LSH)           # drop the non-canonical of each pair
+      → seeded sample                            # downsample to budget
+      → write curated parquet
+
+Each stage is the independently-tested operator from stages/; this
+module only wires them.  Keep-decisions are joined back by broadcast
+key-set filters (semi/anti join pattern), so nothing but id sets and
+pair lists ever leaves the cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..stages.dedup import exact_dedup, minhash_lsh_pairs
+from ..stages.quality import lang_id, quality_scores
+
+
+def curate(sf_dir: str, *, allow_langs=("en", "es", "de", "fr"),
+           min_quality: float = 0.3, near_dup_threshold: float = 0.6,
+           sample_fraction: float | None = None, seed: int = 7):
+    """documents → curated Dataset (doc_id, text, lang, quality)."""
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+
+    # 1. language gate on the PREDICTED language (the provided lang
+    # column is metadata; curation trusts the classifier)
+    allow = pa.array(sorted(allow_langs))
+    scored_lang = lang_id(docs)
+    keep_lang = scored_lang.map_batches(
+        lambda t: t.filter(pc.is_in(t["lang_pred"], value_set=allow))
+                   .select(["doc_id"]),
+        batch_format="pyarrow")
+    lang_ids = set(keep_lang.to_pandas()["doc_id"])
+
+    # 2. quality gate
+    q = quality_scores(docs)
+    keep_q = q.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t["quality"], pa.scalar(min_quality))).select(["doc_id"]),
+        batch_format="pyarrow")
+    quality_ids = set(keep_q.to_pandas()["doc_id"])
+
+    # 3. exact dedup: canonical (min doc_id) copy per distinct text
+    canon = exact_dedup(docs).to_pandas()
+    canon_ids = set(canon["doc_id"])
+
+    # 4. near-dup: among canonical survivors, drop doc_b of each pair
+    pairs = minhash_lsh_pairs(docs, threshold=near_dup_threshold).to_pandas()
+    near_dropped = set(pairs["doc_b"])
+
+    keep = (lang_ids & quality_ids & canon_ids) - near_dropped
+    keep_ref = ray.put(pa.array(sorted(keep), type=pa.int64()))
+
+    out = docs.map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"],
+                                    value_set=ray.get(keep_ref))),
+        batch_format="pyarrow")
+    if sample_fraction is not None:
+        out = out.random_sample(sample_fraction, seed=seed)
+    return out
+
+
+def curation_report(sf_dir: str, **kwargs):
+    """One-row summary: rows in/out per gate (rows-only oracle)."""
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+    n_in = docs.count()
+    out = curate(sf_dir, **kwargs)
+    n_out = out.count()
+    return pa.table({
+        "n_input": pa.array([n_in], type=pa.int64()),
+        "n_curated": pa.array([n_out], type=pa.int64()),
+        "keep_rate": pa.array([round(n_out / max(1, n_in), 4)],
+                              type=pa.float64()),
+    })

@@ -503,6 +503,18 @@ def media_features(sf_dir: str, n: int = 128):
     return feats.map_batches(summarize, batch_format="pyarrow")
 
 
+def embedding_near_dup_pairs(sf_dir: str):
+    from ..stages.ann import embedding_near_dups
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    return embedding_near_dups(ds, threshold=0.9)
+
+
+def doc_curation_report(sf_dir: str):
+    from .curate import curation_report
+    return curation_report(sf_dir)
+
+
 def embedding_label_counts(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "embeddings"),
                          columns=["label", "vec_id"])

@@ -131,6 +131,62 @@ class HyperplaneLSH:
             "lsh_bucket", pa.array(sig.astype(np.int32()), type=pa.int32()))
 
 
+def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 10,
+                        seed: int = 13, round_dp: int = 4):
+    """Embedding-cosine near-duplicate pairs.
+
+    The dense-vector member of the dedup family: hyperplane-LSH bucket
+    (near-identical vectors share all sign bits with high probability),
+    then exact pairwise cosine within each bucket, keep pairs ≥
+    threshold.  Output: vec_a, vec_b (a < b), cos_sim.
+
+    Scale: bucket population ~ n/2^n_planes; the within-bucket pairwise
+    matmul is O(b²·d) per bucket — n_planes is the knob that bounds b.
+    Recall is probabilistic (pairs split across every band differ in ≥1
+    sign); raise recall by multi-probe or repeated plantings (seed
+    list), same shape.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.rounding import np_round_half_away
+
+    hashed = ds.map_batches(HyperplaneLSH, fn_constructor_kwargs={
+        "dim": 64, "n_planes": n_planes, "seed": seed},
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    hashed = hashed.map_batches(
+        lambda t: t.append_column("bucket", pc.cast(
+            pc.bit_wise_and(t["lsh_bucket"], 63), pa.int32())),
+        batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = group.to_pandas()
+        out_a, out_b, out_s = [], [], []
+        for _, g in df.groupby("lsh_bucket"):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("vec_id")
+            ids = g["vec_id"].to_numpy()
+            emb = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(emb, axis=1)
+            norms[norms == 0] = 1.0
+            unit = emb / norms[:, None]
+            sims = unit @ unit.T
+            iu = np.triu_indices(len(ids), k=1)
+            hits = sims[iu] >= threshold
+            out_a.extend(int(x) for x in ids[iu[0][hits]])
+            out_b.extend(int(x) for x in ids[iu[1][hits]])
+            out_s.extend(np_round_half_away(sims[iu][hits], round_dp))
+        return pa.table({
+            "vec_a": pa.array(out_a, type=pa.int64()),
+            "vec_b": pa.array(out_b, type=pa.int64()),
+            "cos_sim": pa.array(out_s, type=pa.float64()),
+        })
+
+    return hashed.repartition(32).groupby("bucket") \
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+
+
 def lsh_topk(ds, query: np.ndarray, k: int = 50, *, n_planes: int = 8,
              seed: int = 13, probe_hamming: int = 1, round_dp: int = 4):
     """Approximate top-k: score only rows whose hyperplane signature is

@@ -182,3 +182,39 @@ def test_two_hop_join(small_pages, tmp_path):
     exp = {(a, b, c) for a, b in h1 for (b2, c) in h2 if b2 == b}
     assert set(map(tuple, got[["a_id", "b_id", "c_id"]].values)) == exp
     assert len(exp) > 0
+
+
+def test_embedding_near_dups(tmp_path):
+    from guacray.stages.ann import embedding_near_dups
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((50, 64)).astype(np.float32)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append({"vec_id": i, "embedding": v.tolist()})
+    # near-dups: tiny perturbations of vec 0 and vec 1
+    rows.append({"vec_id": 100,
+                 "embedding": (base[0] + 0.001 * rng.standard_normal(64)
+                               .astype(np.float32)).tolist()})
+    rows.append({"vec_id": 101,
+                 "embedding": (base[1] * 1.5).tolist()})  # scaled copy
+    ds = rd.from_items(rows)
+    pairs = embedding_near_dups(ds, threshold=0.98).to_pandas()
+    got = set(zip(pairs["vec_a"], pairs["vec_b"]))
+    assert (0, 100) in got
+    assert (1, 101) in got  # cosine is scale-invariant
+    # random pairs are not near-dups
+    assert all(a in (0, 1) or b in (100, 101) for a, b in got) or len(got) == 2
+
+
+def test_curation_pipeline():
+    from guacray.pipelines.curate import curate, curation_report
+    sf = "/root/testdata/sf0.001"
+    out = curate(sf).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    assert 0 < len(out) < len(docs)
+    assert len(out) == len(set(out["doc_id"]))   # no dup docs survive
+    assert set(out["doc_id"]) <= set(docs["doc_id"])
+    # exact dups removed: no two surviving docs share text
+    assert out["text"].nunique() == len(out)
+    rep = curation_report(sf).to_pandas()
+    assert rep["n_curated"][0] == len(out)
