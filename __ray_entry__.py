@@ -47,6 +47,11 @@ def _kg_identifiers(sf_dir: str):
     return identifier_strings(_kg(sf_dir, "triples"))
 
 
+def _kg_doc_summary(sf_dir: str):
+    from guacray.stages.canonicalize import document_summary
+    return document_summary(_kg(sf_dir, "triples"))
+
+
 def entry() -> Any:
     """Flagship: KG construction (pages → canonical edges) at sf0.001,
     plus a smoke read of the driver-provided documents table."""
@@ -73,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": R.events_sessions,
         "events_gap_us": R.events_gap_us,
         "events_sliding_avg": R.events_sliding_avg,
+        "events_asof_order": R.events_asof_order,
         "events_distinct_users": R.events_distinct_users,
         "lineitem_quantiles": R.lineitem_quantiles,
         "mention_topk": R.mention_topk,
@@ -103,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": lambda sf: _kg(sf, "edges"),
         "kg_evidence": lambda sf: _kg(sf, "evidence"),
         "kg_identifiers": _kg_identifiers,
+        "kg_document_summary": _kg_doc_summary,
     }
     return q
 

@@ -291,6 +291,35 @@ def events_gap_us(sf_dir: str, num_buckets: int = 64):
     return ds.groupby("bucket").map_groups(lag_fn, batch_format="pandas")
 
 
+def events_asof_order(sf_dir: str):
+    """As-of join: each event matched to the user's most recent order at
+    or before the event time (user_id ⇔ o_custkey in the synthetic
+    star schema).  Inner semantics: events before any order drop."""
+    from ..stages.agg import asof_join
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_custkey", "o_orderdate",
+                                      "o_orderkey"])
+    # dedup to ONE order per (custkey, date): merge_asof picks the last
+    # row within equal timestamps while SQL ASOF has no such tiebreak —
+    # make the join key unique so both semantics coincide
+    orders = grouped_agg(orders, ["o_custkey", "o_orderdate"],
+                         [("o_orderkey", "max", "o_orderkey")])
+    out = asof_join(ev, orders, by_left="user_id", by_right="o_custkey",
+                    on_left="ts", on_right="o_orderdate",
+                    right_cols=["o_orderkey"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_orderdate": t["o_orderdate"],
+        })
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def events_sliding_avg(sf_dir: str, window_s: int = 3600,
                        num_buckets: int = 64):
     """Sliding event-time window: per-event trailing-1h average of
@@ -624,6 +653,16 @@ SQL: dict[str, str] = {
                    (PARTITION BY user_id ORDER BY ts, event_id)), -1)
                    AS gap_us
         FROM events
+    """,
+    "events_asof_order": """
+        WITH uo AS (
+            SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id, uo.o_orderkey, uo.o_orderdate
+        FROM events e
+        ASOF JOIN uo ON e.user_id = uo.o_custkey
+                    AND e.ts >= uo.o_orderdate
     """,
     "events_sliding_avg": """
         SELECT event_id, user_id,

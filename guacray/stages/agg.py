@@ -136,6 +136,67 @@ def auto_join(left, right, *, on: str, right_on: str,
                      on=(on,), right_on=(right_on,))
 
 
+def asof_join(left, right, *, by_left: str, by_right: str,
+              on_left: str, on_right: str, right_cols: list[str],
+              num_buckets: int = 64):
+    """As-of join: for each left row, the latest right row with the
+    same key and on_right ≤ on_left (inner semantics: unmatched left
+    rows drop).
+
+    Ray Data has no native as-of join; the portable expression
+    (ray_guide.md) is hash-bucket both sides by key, then
+    ``pd.merge_asof`` over the (key, time)-sorted bucket — one
+    vectorized merge per bucket.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # unified schema for the co-grouping union: each side null-pads the
+    # other's columns (Ray union requires identical schemas)
+    lsch = left.schema()
+    rsch = right.schema()
+    l_fields = list(zip(lsch.names, lsch.types))
+    r_use = [by_right, on_right] + right_cols
+    r_fields = [(n, t) for n, t in zip(rsch.names, rsch.types)
+                if n in r_use]
+    all_fields = l_fields + [(n, t) for n, t in r_fields
+                             if n not in lsch.names]
+    l_names = [n for n, _ in l_fields]
+
+    def prep(side: int, by_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            for name, typ in all_fields:
+                if name not in t.column_names:
+                    t = t.append_column(name, pa.nulls(t.num_rows, type=typ))
+            t = t.select([n for n, _ in all_fields])
+            t = t.append_column("__side", pa.array([side] * t.num_rows,
+                                                   type=pa.int8()))
+            b = pc.cast(pc.bit_wise_and(t[by_col], num_buckets - 1),
+                        pa.int32())
+            return t.append_column("bucket", b)
+        return fn
+
+    l = left.map_batches(prep(0, by_left), batch_format="pyarrow")
+    r = right.select_columns(r_use).map_batches(prep(1, by_right),
+                                                batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        lf = df[df["__side"] == 0][l_names]
+        rf = df[df["__side"] == 1][r_use]
+        if lf.empty or rf.empty:
+            return pd.DataFrame(columns=l_names + [c for c in r_use
+                                                   if c not in l_names])
+        lf = lf.sort_values(on_left)
+        rf = rf.sort_values(on_right)
+        out = pd.merge_asof(lf, rf, left_on=on_left, right_on=on_right,
+                            left_by=by_left, right_by=by_right,
+                            direction="backward")
+        return out[out[on_right].notna()]
+
+    both = l.union(r)
+    return both.groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
 def semi_join_filter(ds, key_set_ref, col: str, anti: bool = False):
     """Semi/anti join by broadcast key set (GUAC's visited-set pattern,
     /root/reference/pkg/ingestor/parser/parser.go:216-220).  At larger

@@ -229,6 +229,59 @@ def edges_table(linked_ds, num_buckets: int | None = None):
     return _exchange(partial, _edge_merge_group, nb)
 
 
+def _bucket_of_str(vals, num_buckets: int) -> pa.Array:
+    import hashlib
+    return pa.array(
+        [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=4)
+                        .digest(), "big") % num_buckets
+         for s in vals.to_pylist()], type=pa.int32())
+
+
+def document_summary(linked_ds, num_buckets: int | None = None):
+    """Per-document rollup of what was extracted — the HasSBOM.Includes
+    analog (per-document aggregation of all ids emitted by one doc,
+    /root/reference/pkg/assembler/clients/helpers/bulk.go:202-210).
+
+    Output: document_ref, url, n_triples, n_distinct_edges, first_ts.
+    Exact under any block layout: the combiner emits distinct
+    (document_ref, edge_id) pairs with partial triple counts; the
+    exchange co-locates by document_ref; the merge re-dedups pairs
+    before counting (sum of per-block distincts would double-count an
+    edge whose document straddles blocks).
+    """
+    nb = resolve_buckets(num_buckets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pairs = batch.group_by(["document_ref", "edge_id"]).aggregate(
+            [("url", "min"), ("warc_ts", "min"), ("edge_id", "count")])
+        pairs = pairs.rename_columns(
+            ["document_ref", "edge_id", "url", "first_ts", "n_triples"])
+        pairs = pairs.set_column(
+            pairs.schema.get_field_index("n_triples"), "n_triples",
+            pc.cast(pairs["n_triples"], pa.int64()))
+        return pairs.append_column(
+            "bucket", _bucket_of_str(pairs["document_ref"], nb))
+
+    def merge(group: pa.Table) -> pa.Table:
+        pairs = group.group_by(["document_ref", "edge_id"]).aggregate(
+            [("url", "min"), ("first_ts", "min"), ("n_triples", "sum")])
+        pairs = pairs.rename_columns(
+            ["document_ref", "edge_id", "url", "first_ts", "n_triples"])
+        agg = pairs.group_by("document_ref").aggregate(
+            [("url", "min"), ("first_ts", "min"), ("n_triples", "sum"),
+             ("document_ref", "count")])
+        agg = agg.rename_columns(
+            ["document_ref", "url", "first_ts", "n_triples",
+             "n_distinct_edges"])
+        for c in ("n_triples", "n_distinct_edges"):
+            agg = agg.set_column(agg.schema.get_field_index(c), c,
+                                 pc.cast(agg[c], pa.int64()))
+        return agg
+
+    return _exchange(linked_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None), merge, nb)
+
+
 def evidence_table(linked_ds):
     """Append-only provenance: edge_id → (document_ref, url, warc_ts).
 

@@ -115,3 +115,30 @@ def test_partitioned_edges_by_predicate(small_pages_path, tmp_path):
     na = sa.neighbors(acme, predicates=["works_at"]).to_pandas()
     nb = sb.neighbors(acme, predicates=["works_at"]).to_pandas()
     assert set(na["edge_id"]) == set(nb["edge_id"])
+
+
+def test_document_summary(small_pages):
+    """HasSBOM.Includes analog: per-document rollup matches reference."""
+    import collections
+    from guacray.data.reference import reference_triples
+    from guacray.pipelines.kg import linked_triples
+    from guacray.stages.canonicalize import document_summary
+
+    tri = linked_triples(rd.from_arrow(small_pages))
+    got = document_summary(tri).to_pandas().set_index("document_ref")
+    ref = collections.defaultdict(lambda: {"n": 0, "edges": set(),
+                                           "url": None, "ts": None})
+    for t in reference_triples(small_pages):
+        from guacray.functions.keys import edge_id, node_id
+        r = ref[t["document_ref"]]
+        r["n"] += 1
+        r["edges"].add(edge_id(node_id(t["subj_key"]), t["predicate"],
+                               node_id(t["obj_key"])))
+        r["url"] = t["url"] if r["url"] is None else min(r["url"], t["url"])
+        r["ts"] = t["warc_ts"] if r["ts"] is None else min(r["ts"], t["warc_ts"])
+    assert len(got) == len(ref)
+    for dref, r in ref.items():
+        row = got.loc[dref]
+        assert row["n_triples"] == r["n"]
+        assert row["n_distinct_edges"] == len(r["edges"])
+        assert row["url"] == r["url"]
