@@ -175,17 +175,21 @@ def run_kg(pages_path: str, out_dir: str, *, num_buckets: int | None = None,
 
 def run_kg_resumable(pages_files: list[str], out_dir: str, *,
                      num_buckets: int | None = None, link_concurrency=None,
-                     seed: int = 42) -> dict:
-    """Resumable run: one partition per input parquet file.
+                     seed: int = 42, files_per_partition: int = 8) -> dict:
+    """Resumable run: one checkpoint partition per GROUP of input files.
 
-    Phase A (per-shard, embarrassingly parallel, checkpointed): for each
-    input file whose partition is not yet in the manifest, run
-    normalize→extract→link→add_ids and write
-    ``out_dir/triples/part=<shard>/`` + an atomic manifest entry with
-    lineage and metrics.  A killed run reruns only missing shards.
+    Phase A (per-partition, embarrassingly parallel, checkpointed): for
+    each group of ``files_per_partition`` input files whose partition is
+    not yet in the manifest, run normalize→extract→link and write
+    ``out_dir/triples/part=<k>/`` + an atomic manifest entry with
+    lineage and metrics.  A killed run reruns only missing partitions.
+    Grouping matters: each partition is a full (cheap-but-not-free)
+    Ray execution, so 10k input shards as 10k partitions would pay 10k
+    executor startups; ~8 files per partition keeps restart granularity
+    fine while amortizing that overhead.
 
     Phase B (global shuffle, idempotent): canonicalize from ALL
-    completed triple partitions and (re)write nodes/edges/evidence.
+    completed triple partitions and (re)write nodes/edges.
     Safe to repeat — content-hash identities make it a pure function of
     the triples table.
     """
@@ -193,20 +197,24 @@ def run_kg_resumable(pages_files: list[str], out_dir: str, *,
     man = Manifest(tri_root)
     alias_ref = broadcast_alias_map(seed)
 
-    for i, path in enumerate(sorted(pages_files)):
+    files = sorted(pages_files)
+    groups = [files[i:i + files_per_partition]
+              for i in range(0, len(files), files_per_partition)]
+    for i, group in enumerate(groups):
         pid = f"part-{i:05d}"
         if man.done(pid):
             continue
         started = time.time()
         part_dir = os.path.join(tri_root, f"part={i:05d}")
-        pages = rd.read_parquet(path)
+        pages = rd.read_parquet(group)
         tri = linked_triples(pages, alias_ref, link_concurrency)
         write_table(tri, part_dir, schemas.TRIPLES)  # idempotent even if a prior write died mid-flight
         rows_out = sum(f.metadata.num_rows for f in (
             pq.ParquetFile(os.path.join(part_dir, n))
             for n in os.listdir(part_dir)))
-        man.commit(pid, inputs=[path], outputs=[part_dir],
-                   rows_in=pq.ParquetFile(path).metadata.num_rows,
+        man.commit(pid, inputs=group, outputs=[part_dir],
+                   rows_in=sum(pq.ParquetFile(p).metadata.num_rows
+                               for p in group),
                    rows_out=rows_out, started=started)
 
     # only manifest-committed partitions feed the shuffle phase

@@ -39,14 +39,14 @@ def test_resume_skips_completed_partitions(tmp_path):
 
     # interrupted run: only the first two partitions complete
     out1 = str(tmp_path / "out_interrupted")
-    run_kg_resumable(files[:2], out1)
+    run_kg_resumable(files[:2], out1, files_per_partition=1)
     man = Manifest(os.path.join(out1, "triples"))
     done_before = man.completed()
     assert set(done_before) == {"part-00000", "part-00001"}
     stamps_before = {k: v["completed_at_unix"] for k, v in done_before.items()}
 
     # resumed run over the full input: parts 0,1 skipped, part 2 processed
-    run_kg_resumable(files, out1)
+    run_kg_resumable(files, out1, files_per_partition=1)
     done_after = man.completed()
     assert set(done_after) == {"part-00000", "part-00001", "part-00002"}
     for k, stamp in stamps_before.items():
@@ -54,14 +54,14 @@ def test_resume_skips_completed_partitions(tmp_path):
 
     # final tables equal an uninterrupted run
     out2 = str(tmp_path / "out_clean")
-    run_kg_resumable(files, out2)
+    run_kg_resumable(files, out2, files_per_partition=1)
     pd.testing.assert_frame_equal(_edges(out1), _edges(out2))
 
 
 def test_manifest_lineage_fields(tmp_path):
     files = _split_pages(tmp_path, n=64, parts=1)
     out = str(tmp_path / "out")
-    run_kg_resumable(files, out)
+    run_kg_resumable(files, out, files_per_partition=1)
     entry = Manifest(os.path.join(out, "triples")).completed()["part-00000"]
     assert entry["inputs"] == [files[0]]
     assert entry["rows_in"] == 64
