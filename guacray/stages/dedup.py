@@ -181,13 +181,13 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16,
     banded = banded.map_batches(lambda t: t.append_column(
         "bucket", pc.cast(pc.bit_wise_and(t["band_hash"], 63), pa.int32())),
         batch_format="pyarrow")
-    pairs = banded.groupby("bucket").map_groups(bucket_pairs,
-                                                batch_format="pyarrow")
+    pairs = banded.repartition(16).groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pyarrow")
     pairs = pairs.map_batches(lambda t: t.append_column(
         "bucket", pc.cast(pc.bit_wise_and(t["doc_a"], 63), pa.int32())),
         batch_format="pyarrow")
-    return pairs.groupby("bucket").map_groups(pair_dedup,
-                                              batch_format="pyarrow")
+    return pairs.repartition(16).groupby("bucket").map_groups(
+        pair_dedup, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- simhash
@@ -276,13 +276,13 @@ def simhash_pairs(ds, max_hamming: int = 3):
         agg = group.group_by(["doc_a", "doc_b"]).aggregate([("hamming", "min")])
         return agg.rename_columns(["doc_a", "doc_b", "hamming"])
 
-    pairs = exploded.groupby("bucket").map_groups(bucket_pairs,
-                                                  batch_format="pyarrow")
+    pairs = exploded.repartition(16).groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pyarrow")
     pairs = pairs.map_batches(lambda t: t.append_column(
         "bucket", pc.cast(pc.bit_wise_and(t["doc_a"], 63), pa.int32())),
         batch_format="pyarrow")
-    return pairs.groupby("bucket").map_groups(pair_dedup,
-                                              batch_format="pyarrow")
+    return pairs.repartition(16).groupby("bucket").map_groups(
+        pair_dedup, batch_format="pyarrow")
 
 
 # ------------------------------------------------- exact Jaccard verify
