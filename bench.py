@@ -68,7 +68,7 @@ def run_bench() -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
     run_kg(pages_dir, out_dir)
     kg_sec = float("inf")
-    for _ in range(2):  # min over repeats damps scheduler/OS noise
+    for _ in range(3):  # min over repeats damps scheduler/OS noise
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         counts = run_kg(pages_dir, out_dir)

@@ -1,0 +1,67 @@
+"""CLI surface tests (the guacone-analog verbs), driven in-process."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from guacray.cli import main
+from guacray.data.pages import generate_pages
+
+
+@pytest.fixture(scope="module")
+def cli_graph(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    pages = str(d / "pages.parquet")
+    pq.write_table(generate_pages(128), pages)
+    out = str(d / "graph")
+    assert main(["ingest", pages, out]) == 0
+    return out
+
+
+def test_cli_ingest_and_find(cli_graph, capsys):
+    assert main(["query", "find", cli_graph, "acme corp"]) == 0
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert any(r["node_key"] == "ent:org::acme-corp" for r in lines)
+
+
+def test_cli_topk_and_path(cli_graph, capsys):
+    assert main(["query", "topk", cli_graph, "--predicate", "works_at",
+                 "-k", "3"]) == 0
+    rows = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert 1 <= len(rows) <= 3
+    assert rows[0]["n_edges"] >= rows[-1]["n_edges"]
+
+    # path from a person to the org they work at (1 hop)
+    assert main(["query", "neighbors", cli_graph, "ent:org::acme-corp",
+                 "--predicate", "works_at"]) == 0
+    edges = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    subj = edges[0]["subj_id"]
+    assert main(["query", "path", cli_graph, subj,
+                 "ent:org::acme-corp"]) == 0
+    path = json.loads(capsys.readouterr().out.strip())["path"]
+    assert path is not None and len(path) == 2
+
+
+def test_cli_enrich(cli_graph, capsys):
+    assert main(["enrich", cli_graph, "--node-type", "org"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["scanned"] > 0
+
+
+def test_cli_resumable_ingest(tmp_path, capsys):
+    pages = generate_pages(96)
+    files = []
+    for i in range(3):
+        p = str(tmp_path / f"p{i}.parquet")
+        pq.write_table(pages.slice(i * 32, 32), p)
+        files.append(p)
+    out = str(tmp_path / "graph")
+    assert main(["ingest", *files, out, "--resumable"]) == 0
+    counts = json.loads(capsys.readouterr().out.strip())
+    assert counts["edges"] > 0
+    assert os.path.isdir(os.path.join(out, "triples", "_manifest"))

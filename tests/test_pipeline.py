@@ -142,3 +142,21 @@ def test_document_summary(small_pages):
         assert row["n_triples"] == r["n"]
         assert row["n_distinct_edges"] == len(r["edges"])
         assert row["url"] == r["url"]
+
+
+def test_link_via_join_equals_actor_pool(small_pages):
+    """The scale-path join-based linker produces byte-identical triples
+    to the broadcast-dictionary actor pool."""
+    from guacray.stages.extract import extract
+    from guacray.stages.link import alias_dataset, link, link_via_join
+    from guacray.stages.normalize import normalize
+
+    raw = extract(normalize(rd.from_arrow(small_pages)))
+    via_pool = link(raw).to_pandas()
+    via_join = link_via_join(
+        extract(normalize(rd.from_arrow(small_pages))),
+        alias_dataset()).to_pandas()
+    key = ["url", "subj_surface", "predicate", "obj_surface"]
+    a = via_pool.sort_values(key + ["edge_id"]).reset_index(drop=True)
+    b = via_join.sort_values(key + ["edge_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
