@@ -27,7 +27,6 @@ plumbing is identical.
 
 from __future__ import annotations
 
-import datetime as _dt
 import os
 import time
 

@@ -28,8 +28,7 @@ import ray
 import ray.data as rd
 
 from ..functions.rounding import pc_round
-from ..stages.agg import (auto_join, grouped_agg, map_side_join,
-                          semi_join_filter)
+from ..stages.agg import auto_join, grouped_agg, semi_join_filter
 from ..stages.ann import brute_force_topk, lsh_topk, make_query_vector
 from ..stages.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
 from ..stages.quality import (lang_id, norm_fingerprint, quality_scores,
