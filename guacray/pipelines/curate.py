@@ -32,7 +32,8 @@ from ..stages.quality import lang_id, quality_scores
 
 def curate(sf_dir: str, *, allow_langs=("en", "es", "de", "fr"),
            min_quality: float = 0.3, near_dup_threshold: float = 0.6,
-           sample_fraction: float | None = None, seed: int = 7):
+           sample_fraction: float | None = None, seed: int = 7,
+           shuffle: bool = False):
     """documents → curated Dataset (doc_id, text, lang, quality)."""
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text", "lang"])
@@ -72,6 +73,10 @@ def curate(sf_dir: str, *, allow_langs=("en", "es", "de", "fr"),
         batch_format="pyarrow")
     if sample_fraction is not None:
         out = out.random_sample(sample_fraction, seed=seed)
+    if shuffle:
+        # training-order decorrelation — the standard last step before
+        # writing a pretraining shard
+        out = out.random_shuffle(seed=seed)
     return out
 
 

@@ -61,9 +61,26 @@ def explode_jsonlines(ds, blob_col: str = "bytes"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def read_jsonl(path_or_dir: str):
+    """JSON-lines source (one row per JSON object)."""
+    return rd.read_json(path_or_dir)
+
+
+def read_csv(path_or_dir: str, **kwargs):
+    return rd.read_csv(path_or_dir, **kwargs)
+
+
+def read_text_lines(path_or_dir: str):
+    """One row per text line (raw-corpus ingestion)."""
+    return rd.read_text(path_or_dir)
+
+
 # collector registry — user-extension surface (plain dict, like the
-# reference's type-keyed registries)
+# reference's type-keyed registries, collector.go:65-75)
 READERS = {
     "pages": read_pages,
     "binary": read_binary_docs,
+    "jsonl": read_jsonl,
+    "csv": read_csv,
+    "text": read_text_lines,
 }

@@ -183,3 +183,16 @@ def test_identifier_strings(small_pages):
         ref[t["subj_surface"]] += 1
         ref[t["obj_surface"]] += 1
     assert dict(zip(got["surface"], got["n_mentions"])) == dict(ref)
+
+
+def test_source_registry(tmp_path):
+    from guacray.sources.readers import READERS
+    p = tmp_path / "rows.jsonl"
+    p.write_text('{"a": 1}\n{"a": 2}\n')
+    assert READERS["jsonl"](str(p)).count() == 2
+    c = tmp_path / "rows.csv"
+    c.write_text("x,y\n1,2\n3,4\n")
+    assert READERS["csv"](str(c)).count() == 2
+    t = tmp_path / "rows.txt"
+    t.write_text("hello\nworld\n")
+    assert READERS["text"](str(t)).count() == 2
