@@ -130,7 +130,27 @@ def run_scaling() -> dict:
     tput_lo = lo["triples_per_sec"]
     tput_hi = hi["triples_per_sec"]
     eff = (tput_hi / tput_lo) / (hi_cpu / lo_cpu)
+
+    # determinism across parallelism (FIXTURES.md §3.5): the two runs'
+    # canonical tables must be byte-equal after sorting
+    def outputs_identical() -> bool:
+        import pandas as pd
+        import pyarrow.parquet as pq
+        try:
+            for table, key in (("nodes", "node_id"), ("edges", "edge_id")):
+                a = pq.read_table(
+                    f"/tmp/guacray_bench/kg_out_{lo_cpu}/{table}").to_pandas()
+                b = pq.read_table(
+                    f"/tmp/guacray_bench/kg_out_{hi_cpu}/{table}").to_pandas()
+                a = a.sort_values(key).reset_index(drop=True)
+                b = b.sort_values(key).reset_index(drop=True)
+                pd.testing.assert_frame_equal(a, b[a.columns])
+            return True
+        except Exception:
+            return False
+
     return {
+        "outputs_identical_across_parallelism": outputs_identical(),
         "metric": "kg_e2e scaling efficiency (triples/sec at 8 vs 32 CPUs)",
         "value": round(eff, 3),
         "unit": "efficiency",
