@@ -139,7 +139,8 @@ def evidence_view(out_dir: str):
 
 def run_kg(pages_path: str, out_dir: str, *, num_buckets: int | None = None,
            link_concurrency=None, seed: int = 42,
-           partition_edges_by_predicate: bool = False) -> dict:
+           partition_edges_by_predicate: bool = False,
+           checkpoint_mode: str | None = None) -> dict:
     """One-shot run: pages parquet → out_dir/{triples,nodes,edges}.
 
     Three executions total, each streaming end-to-end:
@@ -155,8 +156,24 @@ def run_kg(pages_path: str, out_dir: str, *, num_buckets: int | None = None,
     pages = rd.read_parquet(pages_path)
     triples = linked_triples(pages, alias_ref, link_concurrency)
     tri_dir = os.path.join(out_dir, "triples")
-    write_table(triples, tri_dir, schemas.TRIPLES, min_rows_per_file=200_000)
-    tri = rd.read_parquet(tri_dir)
+    # checkpoint mode (env GUACRAY_CHECKPOINT overrides):
+    #   "disk" (default) — write the durable checkpoint, re-read it for
+    #            the exchange.  This is the production 100 TB shape:
+    #            the triples checkpoint must survive the run anyway
+    #            (resume boundary), and at that scale it cannot live in
+    #            the object store.
+    #   "mem"  — additionally pin triples in the object store so the
+    #            exchange skips the disk re-read (~25% faster end-to-end
+    #            at interactive scales; measured +48% at 8 CPUs where
+    #            the IO round-trip dominates).
+    mode = checkpoint_mode or os.environ.get("GUACRAY_CHECKPOINT", "disk")
+    if mode == "mem":
+        tri = triples.materialize()
+        write_table(tri, tri_dir, schemas.TRIPLES, min_rows_per_file=200_000)
+    else:
+        write_table(triples, tri_dir, schemas.TRIPLES,
+                    min_rows_per_file=200_000)
+        tri = rd.read_parquet(tri_dir)
 
     from ..stages.canonicalize import graph_tables
     nodes, edges = graph_tables(tri, num_buckets)
