@@ -160,3 +160,39 @@ def test_link_via_join_equals_actor_pool(small_pages):
     a = via_pool.sort_values(key + ["edge_id"]).reset_index(drop=True)
     b = via_join.sort_values(key + ["edge_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_pr_gate_at_larger_corpus():
+    """Triple P/R vs reference at a 4096-page corpus (the ≥0.95 gate;
+    exact equality expected — our extractor IS the reference)."""
+    from guacray.data.pages import generate_pages
+    from guacray.data.reference import reference_triples
+    pages = generate_pages(4096)
+    got = linked_triples(rd.from_arrow(pages)).to_pandas()
+    ref = pd.DataFrame(reference_triples(pages))
+    key = ["document_ref", "subj_key", "predicate", "obj_key"]
+    got_set = set(map(tuple, got[key].values))
+    ref_set = set(map(tuple, ref[key].values))
+    tp = len(got_set & ref_set)
+    precision, recall = tp / len(got_set), tp / len(ref_set)
+    assert precision >= 0.95 and recall >= 0.95
+    assert precision == 1.0 and recall == 1.0
+
+
+def test_checkpoint_modes_equal_outputs(small_pages_path, tmp_path):
+    from guacray.pipelines.kg import run_kg
+    a = str(tmp_path / "disk")
+    b = str(tmp_path / "mem")
+    ca = run_kg(small_pages_path, a, checkpoint_mode="disk")
+    cb = run_kg(small_pages_path, b, checkpoint_mode="mem")
+    assert ca == cb
+    for t, key in (("nodes", "node_id"), ("edges", "edge_id"),
+                   ("triples", "edge_id")):
+        x = rd.read_parquet(f"{a}/{t}").to_pandas() \
+            .sort_values(key).reset_index(drop=True)
+        y = rd.read_parquet(f"{b}/{t}").to_pandas() \
+            .sort_values(key).reset_index(drop=True)
+        if t == "triples":
+            x = x.sort_values(["url", "edge_id"]).reset_index(drop=True)
+            y = y.sort_values(["url", "edge_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(x, y[x.columns])
