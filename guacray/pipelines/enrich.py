@@ -183,6 +183,14 @@ def run_enrichment(out_dir: str, *, node_type: str = "org",
             ("edges", new_edges, "edge_id", schemas.EDGES),
             ("nodes", new_nodes, "node_id", schemas.NODES)):
         existing = rd.read_parquet(os.path.join(out_dir, name))
+
+        def normalize_schema(t: pa.Table, schema=schema) -> pa.Table:
+            # hive-partitioned layouts read partition columns back as
+            # dictionary type; normalize to the canonical schema before
+            # the union so both sides match
+            return t.select(schema.names).cast(schema)
+        existing = existing.map_batches(normalize_schema,
+                                        batch_format="pyarrow")
         merged = existing.union(new_ds)
 
         def bucketed(t: pa.Table, key=key) -> pa.Table:

@@ -269,6 +269,27 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 64):
     return ds.groupby("bucket").map_groups(sessionize, batch_format="pandas")
 
 
+def top_order_per_customer(sf_dir: str, num_buckets: int = 64):
+    """Per-group top-1 (window rank): each customer's highest-value
+    order.  The row_number()-over-partition pattern: hash-bucket by
+    key, vectorized idxmax within each bucket."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    ds = ds.map_batches(
+        lambda t: t.append_column("bucket", pc.cast(
+            pc.bit_wise_and(t["o_custkey"], num_buckets - 1), pa.int32())),
+        batch_format="pyarrow")
+
+    def top1(df: pd.DataFrame) -> pd.DataFrame:
+        # deterministic tie-break: highest price, then lowest orderkey
+        df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True])
+        out = df.groupby("o_custkey", sort=False).head(1)
+        return out[["o_custkey", "o_orderkey", "o_totalprice"]]
+
+    return ds.groupby("bucket").map_groups(top1, batch_format="pandas")
+
+
 def events_gap_us(sf_dir: str, num_buckets: int = 64):
     """Lag window: microseconds since the user's previous event (-1 for
     the first).  The per-key ordered-window pattern: hash-bucket by
@@ -645,6 +666,14 @@ SQL: dict[str, str] = {
         SELECT user_id, session_num, count(*) AS n_events,
                min(ts) AS session_start, max(ts) AS session_end
         FROM s GROUP BY user_id, session_num
+    """,
+    "top_order_per_customer": """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders)
+        WHERE rn = 1
     """,
     "events_gap_us": """
         SELECT event_id, user_id,

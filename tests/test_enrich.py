@@ -56,3 +56,16 @@ def test_enrichment_loop(graph_dir):
     pd.testing.assert_frame_equal(
         edges.sort_values("edge_id").reset_index(drop=True),
         edges3.sort_values("edge_id").reset_index(drop=True))
+
+
+def test_enrichment_on_partitioned_layout(small_pages_path, tmp_path):
+    """Certifier pass works when edges are hive-partitioned by
+    predicate (dictionary-typed partition column on read)."""
+    import ray.data as rd
+    from guacray.pipelines.kg import run_kg
+    d = str(tmp_path / "gpart")
+    run_kg(small_pages_path, d, partition_edges_by_predicate=True)
+    before = rd.read_parquet(os.path.join(d, "edges")).count()
+    r = run_enrichment(d, node_type="org", now=5000.0)
+    assert r["scanned"] > 0
+    assert r["edges_total"] == before + r["scanned"]
