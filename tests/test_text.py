@@ -72,3 +72,31 @@ def test_guess_kind(tiny_pages):
     out = normalize(rd.from_arrow(tiny_pages)).to_pandas()
     assert set(out["kind"]) <= {"article", "malformed", "page"}
     assert (out["kind"] == "malformed").sum() >= 1  # error-path fixture
+
+
+def test_unicode_through_extraction_and_linking():
+    """Non-ASCII surfaces survive extraction, linking, and id hashing."""
+    from guacray.functions.text import extract_raw_triples, extract_text
+    from guacray.stages.link import Linker
+    from guacray.functions.keys import fallback_key
+    import pyarrow as pa
+
+    html = ("<html><body><p>Søren Kierkegård works at Müller GmbH. "
+            "Müller GmbH is located in Zürich.</p></body></html>").encode()
+    text = extract_text(html)
+    triples = extract_raw_triples(text)
+    assert ("Søren Kierkegård", "works_at", "Müller GmbH") in triples
+    assert ("Müller GmbH", "located_in", "Zürich") in triples
+
+    lk = Linker({"müller gmbh": ("org", "Müller GmbH")})
+    batch = pa.table({
+        "url": ["u"] * 2, "warc_ts": pa.array([0, 0], type=pa.timestamp("us", tz="UTC")),
+        "document_ref": ["d"] * 2,
+        "subj_surface": [t[0] for t in triples],
+        "predicate": [t[1] for t in triples],
+        "obj_surface": [t[2] for t in triples],
+    })
+    out = lk(batch).to_pylist()
+    assert out[0]["obj_key"] == "ent:org::m-ller-gmbh"  # slug is ascii-safe
+    assert out[0]["subj_key"] == fallback_key("Søren Kierkegård")
+    assert all(len(r["edge_id"]) == 32 for r in out)
