@@ -150,9 +150,8 @@ def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 10,
 
     from ..functions.rounding import np_round_half_away
 
-    hashed = ds.map_batches(HyperplaneLSH, fn_constructor_kwargs={
-        "dim": 64, "n_planes": n_planes, "seed": seed},
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    _h = HyperplaneLSH(dim=64, n_planes=n_planes, seed=seed)
+    hashed = ds.map_batches(_h, batch_format="pyarrow")
     hashed = hashed.map_batches(
         lambda t: t.append_column("bucket", pc.cast(
             pc.bit_wise_and(t["lsh_bucket"], 63), pa.int32())),
@@ -219,8 +218,7 @@ def lsh_topk(ds, query: np.ndarray, k: int = 50, *, n_planes: int = 8,
                                 type=pa.float64()),
         })
 
-    hashed = ds.map_batches(HyperplaneLSH, fn_constructor_kwargs={
-        "dim": len(query), "n_planes": n_planes, "seed": seed},
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    # tiny state (64×n_planes floats): stateless tasks, hasher captured
+    hashed = ds.map_batches(hasher, batch_format="pyarrow")
     out = hashed.map_batches(local, batch_format="pyarrow")
     return out.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)

@@ -173,9 +173,20 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16,
         agg = group.group_by(["doc_a", "doc_b"]).aggregate([("est_jaccard", "max")])
         return agg.rename_columns(["doc_a", "doc_b", "est_jaccard"])
 
-    signed = ds.map_batches(MinHasher, fn_constructor_kwargs={
-        "num_perm": num_perm, "seed": seed, "shingle_k": shingle_k},
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    # MinHasher's state is ~1 KB of permutation params — construct per
+    # worker (cached) in stateless tasks; an actor pool's spin-up costs
+    # more than the state it would amortize
+    _hashers: dict = {}
+
+    def sign(batch):
+        key = (num_perm, seed, shingle_k)
+        h = _hashers.get(key)
+        if h is None:
+            h = _hashers[key] = MinHasher(num_perm=num_perm, seed=seed,
+                                          shingle_k=shingle_k)
+        return h(batch)
+
+    signed = ds.map_batches(sign, batch_format="pyarrow")
     banded = signed.map_batches(to_bands, batch_format="pyarrow")
     # coarse bucket on band_hash so each map_groups call is vectorized
     banded = banded.map_batches(lambda t: t.append_column(
@@ -231,8 +242,8 @@ def simhash_pairs(ds, max_hamming: int = 3):
     Bucket by each 16-bit band (pigeonhole guarantee for ≤3 bit diffs
     over 4 bands), verify true Hamming distance within buckets.
     """
-    signed = ds.map_batches(SimHasher, batch_format="pyarrow",
-                            concurrency=(1, 4), num_cpus=1)
+    _sh = SimHasher()
+    signed = ds.map_batches(_sh, batch_format="pyarrow")
 
     def band_rows(batch: pa.Table, band: int) -> pa.Table:
         return pa.table({
