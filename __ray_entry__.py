@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": R.embedding_centroids,
         "ann_lsh_topk": R.ann_lsh_topk,
         "doc_sample": R.doc_sample,
+        "doc_stratified_sample": R.doc_stratified_sample,
         "media_features": R.media_features,
         "embedding_near_dup_pairs": R.embedding_near_dup_pairs,
         "doc_curation_report": R.doc_curation_report,

@@ -519,6 +519,33 @@ def embedding_centroids(sf_dir: str):
     return label_centroids(ds)
 
 
+def doc_stratified_sample(sf_dir: str, per_group: int = 20, seed: int = 7,
+                          num_buckets: int = 16):
+    """Deterministic stratified sample: ``per_group`` docs per language,
+    selected by md5-hash order (a seeded, engine-independent shuffle —
+    the same ranking is expressible in SQL, so this sampling op is
+    fully oracle-checked, unlike RNG-based sampling)."""
+    import hashlib
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def rank_key(t: pa.Table) -> pa.Table:
+        keys = [hashlib.md5(f"{seed}|{d}".encode()).hexdigest()
+                for d in t["doc_id"].to_pylist()]
+        t = t.append_column("rk", pa.array(keys, type=pa.string()))
+        b = [int(hashlib.md5(l.encode()).hexdigest()[:4], 16) % num_buckets
+             for l in t["lang"].to_pylist()]
+        return t.append_column("bucket", pa.array(b, type=pa.int32()))
+
+    ds = ds.map_batches(rank_key, batch_format="pyarrow")
+
+    def take(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "rk"])
+        out = df.groupby("lang", sort=False).head(per_group)
+        return out[["doc_id", "lang"]]
+
+    return ds.groupby("bucket").map_groups(take, batch_format="pandas")
+
+
 def doc_sample(sf_dir: str, fraction: float = 0.2, seed: int = 7):
     """Seeded random sample (rows-only oracle: RNGs differ across
     engines by construction)."""
@@ -718,6 +745,14 @@ SQL: dict[str, str] = {
         ORDER BY n_mentions DESC, mention
         LIMIT 5
     """.format(vocab="(" + ", ".join(f"'{w}'" for w in MENTION_VOCAB) + ")"),
+    "doc_stratified_sample": """
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY md5('7|' || CAST(doc_id AS VARCHAR))) AS rn
+            FROM documents)
+        WHERE rn <= 20
+    """,
     "doc_exact_dedup": """
         SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
                count(*) AS n_copies
