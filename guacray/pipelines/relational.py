@@ -28,7 +28,7 @@ import ray
 import ray.data as rd
 
 from ..functions.rounding import pc_round
-from ..stages.agg import auto_join, grouped_agg, semi_join_filter
+from ..stages.agg import auto_join, grouped_agg, semi_join, semi_join_filter
 from ..stages.ann import brute_force_topk, lsh_topk, make_query_vector
 from ..stages.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
 from ..stages.quality import (lang_id, norm_fingerprint, quality_scores,
@@ -93,11 +93,11 @@ def top_orders_by_revenue(sf_dir: str):
     cust = cust.map_batches(
         lambda t: t.filter(pc.equal(t["c_mktsegment"], pa.scalar("BUILDING"))),
         batch_format="pyarrow")
-    keys = set(cust.unique("c_custkey"))
-    key_ref = ray.put(keys)
     orders = rd.read_parquet(_t(sf_dir, "orders"), columns=[
         "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
-    orders = semi_join_filter(orders, key_ref, "o_custkey")
+    # distributed semi join (size-aware: broadcast keys below threshold,
+    # hash-partitioned join above — nothing O(left) on the driver)
+    orders = semi_join(orders, cust, on="o_custkey", right_on="c_custkey")
     li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=[
         "l_orderkey", "l_extendedprice", "l_discount"])
     li = li.map_batches(
@@ -184,11 +184,10 @@ def customers_without_orders(sf_dir: str):
     orders = orders.map_batches(
         lambda t: t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F"))),
         batch_format="pyarrow")
-    keys = set(orders.unique("o_custkey"))
-    key_ref = ray.put(keys)
     cust = rd.read_parquet(_t(sf_dir, "customer"),
                            columns=["c_custkey", "c_name", "c_mktsegment"])
-    return semi_join_filter(cust, key_ref, "c_custkey", anti=True)
+    return semi_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                     anti=True)
 
 
 def segment_order_stats(sf_dir: str):
@@ -359,10 +358,17 @@ def events_sliding_avg(sf_dir: str, window_s: int = 3600,
         df = df.sort_values(["user_id", "ts", "event_id"])
         out = []
         for _, g in df.groupby("user_id", sort=False):
-            r = (g.set_index("ts")["value"]
-                  .rolling(f"{window_s}s", closed="both").mean())
+            # aggregate per DISTINCT ts first so equal-timestamp peers
+            # are all inside each other's window (SQL RANGE frame
+            # semantics: peers included; pandas row-order rolling would
+            # exclude later peers)
+            per_ts = g.groupby("ts")["value"].agg(["sum", "count"])
+            rs = per_ts["sum"].rolling(f"{window_s}s", closed="both").sum()
+            rc = per_ts["count"].rolling(f"{window_s}s", closed="both").sum()
+            avg_ts = rs / rc
             gg = g.copy()
-            gg["avg_1h"] = [round_half_away(v, 4) for v in r.to_numpy()]
+            gg["avg_1h"] = [round_half_away(v, 4)
+                            for v in avg_ts.loc[gg["ts"]].to_numpy()]
             out.append(gg[["event_id", "user_id", "avg_1h"]])
         return pd.concat(out, ignore_index=True)
 

@@ -23,6 +23,23 @@ import pyarrow.compute as pc
 _MERGE_OP = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 
+def agg_by_name(t: pa.Table, keys: list[str],
+                specs: list[tuple[str, str, str]]) -> pa.Table:
+    """group_by + aggregate with NAME-based output mapping.
+
+    ``pa.TableGroupBy`` emits aggregate columns named ``<col>_<op>``;
+    relying on positional ``rename_columns`` silently mislabels columns
+    if the key/aggregate output order ever differs across pyarrow
+    versions (keys moved from last to first in pyarrow 14).  Selecting
+    by generated name is order-independent.
+    """
+    agg = t.group_by(keys).aggregate([(c, op) for c, op, _ in specs])
+    cols: dict[str, pa.ChunkedArray] = {k: agg[k] for k in keys}
+    for c, op, alias in specs:
+        cols[alias] = agg[f"{c}_{op}"]
+    return pa.table(cols)
+
+
 def _bucket_from_keys(t: pa.Table, keys: list[str], num_buckets: int) -> pa.Array:
     # deterministic bucket from the string-joined key tuple
     parts = [pc.cast(t[k], pa.string()) for k in keys]
@@ -51,16 +68,14 @@ def grouped_agg(ds, keys: list[str] | str,
     aliases = [a for _, _, a in specs]
 
     def partial(batch: pa.Table) -> pa.Table:
-        agg = batch.group_by(keys).aggregate(
-            [(c, op) for c, op, _ in specs])
-        agg = agg.rename_columns(keys + aliases)
+        agg = agg_by_name(batch, keys, specs)
         return agg.append_column(
             "bucket", _bucket_from_keys(agg, keys, num_buckets))
 
     def merge(group: pa.Table) -> pa.Table:
-        agg = group.group_by(keys).aggregate(
-            [(a, _MERGE_OP[op]) for (_, op, _), a in zip(specs, aliases)])
-        agg = agg.rename_columns(keys + aliases)
+        agg = agg_by_name(group, keys,
+                          [(a, _MERGE_OP[op], a) for (_, op, _), a
+                           in zip(specs, aliases)])
         # counts widen to int64 after the sum-merge
         for (c, op, a) in specs:
             if op == "count":
@@ -121,6 +136,9 @@ def auto_join(left, right, *, on: str, right_on: str,
     sides on the broadcast path and fact-fact joins on the shuffle path.
     """
     import ray
+    # materialize once: count() would otherwise execute the right-side
+    # pipeline and to_pandas() would re-execute it from scratch
+    right = right.materialize()
     n_right = right.count()
     if n_right <= broadcast_threshold:
         import pandas as pd
@@ -180,35 +198,100 @@ def asof_join(left, right, *, by_left: str, by_right: str,
     r = right.select_columns(r_use).map_batches(prep(1, by_right),
                                                 batch_format="pyarrow")
 
+    # dtype restoration: the schema-unifying union null-pads each side's
+    # rows into the other's int columns, so pandas upcasts them to
+    # float64 — cast back after filtering to the side's own (non-null)
+    # rows, and again after the inner filter drops merge_asof's NaNs
+    int_types = (pa.int8(), pa.int16(), pa.int32(), pa.int64())
+    l_ints = [n for n, t in l_fields if t in int_types]
+    r_ints = [n for n, t in r_fields if t in int_types]
+
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         lf = df[df["__side"] == 0][l_names]
         rf = df[df["__side"] == 1][r_use]
+        out_cols = l_names + [c for c in r_use if c not in l_names]
         if lf.empty or rf.empty:
-            return pd.DataFrame(columns=l_names + [c for c in r_use
-                                                   if c not in l_names])
+            return pd.DataFrame(columns=out_cols)
+        lf = lf.astype({c: "int64" for c in l_ints})
+        rf = rf.astype({c: "int64" for c in r_ints})
         lf = lf.sort_values(on_left)
         rf = rf.sort_values(on_right)
         out = pd.merge_asof(lf, rf, left_on=on_left, right_on=on_right,
                             left_by=by_left, right_by=by_right,
                             direction="backward")
-        return out[out[on_right].notna()]
+        out = out[out[on_right].notna()]
+        return out.astype({c: "int64" for c in r_ints if c in out_cols})
 
     both = l.union(r)
     return both.groupby("bucket").map_groups(merge, batch_format="pandas")
 
 
-def semi_join_filter(ds, key_set_ref, col: str, anti: bool = False):
+def semi_join_filter(ds, keys, col: str, anti: bool = False):
     """Semi/anti join by broadcast key set (GUAC's visited-set pattern,
     /root/reference/pkg/ingestor/parser/parser.go:216-220).  At larger
-    key cardinalities swap the set for a Bloom filter — same shape."""
+    key cardinalities swap the set for a Bloom filter — same shape.
+
+    ``keys``: a set/list/pa.Array of keys, or an ObjectRef to one.  The
+    sorted ``pa.Array`` is built ONCE here and broadcast — per-batch
+    work is only the vectorized ``pc.is_in``.
+    """
     import ray
+    if isinstance(keys, ray.ObjectRef):
+        keys = ray.get(keys)
+    if not isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        keys = pa.array(sorted(keys))
+    if len(keys) == 0:
+        return ds if anti else ds.limit(0)
+    arr_ref = ray.put(keys)
 
     def fn(batch: pa.Table) -> pa.Table:
-        keys = ray.get(key_set_ref)
-        arr = pa.array(sorted(keys))
-        mask = pc.is_in(batch[col], value_set=arr)
+        mask = pc.is_in(batch[col], value_set=ray.get(arr_ref))
         if anti:
             mask = pc.invert(mask)
         return batch.filter(mask)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def semi_join(left, right, *, on: str, right_on: str | None = None,
+              anti: bool = False, broadcast_threshold: int = 2_000_000,
+              num_partitions: int | None = None):
+    """Distributed semi/anti join: keep left rows whose ``on`` key does
+    (semi) / does not (anti) appear in ``right``.
+
+    Size-aware like ``auto_join``: the right side's DISTINCT keys are
+    computed first (a dedup — far smaller than the right table); below
+    the threshold they broadcast as a sorted array filter, above it the
+    decision is a hash-partitioned join against the key set (marker
+    column + filter for anti).  Nothing O(left) ever reaches the driver.
+    """
+    import ray
+    right_on = right_on or on
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        agg = t.group_by(right_on).aggregate([])
+        return agg.rename_columns(["__sj_key"])
+
+    keys_ds = right.map_batches(distinct_keys, batch_format="pyarrow",
+                                batch_size=None).materialize()
+    n = keys_ds.count()
+    if n <= broadcast_threshold:
+        vals = keys_ds.to_pandas()["__sj_key"].tolist()
+        return semi_join_filter(left, vals, on, anti=anti)
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    if not anti:
+        return left.join(keys_ds, "inner", num_partitions=num_partitions,
+                         on=(on,), right_on=("__sj_key",)) \
+                   .drop_columns(["__sj_key"])
+    marked = keys_ds.map_batches(
+        lambda t: t.append_column("__sj_hit",
+                                  pa.array([1] * t.num_rows, type=pa.int8())),
+        batch_format="pyarrow")
+    joined = left.join(marked, "left_outer", num_partitions=num_partitions,
+                       on=(on,), right_on=("__sj_key",))
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["__sj_hit"]))
+                   .drop_columns([c for c in ("__sj_key", "__sj_hit")
+                                  if c in t.column_names]),
+        batch_format="pyarrow")

@@ -44,14 +44,16 @@ def brute_force_topk(ds, query: np.ndarray, k: int = 50, round_dp: int = 4):
     """
     def local_topk(batch: pa.Table) -> pa.Table:
         vec_ids, sims = _batch_sims(batch, query)
-        if len(sims) > k:
-            idx = np.argpartition(-sims, k)[:k]
-        else:
-            idx = np.arange(len(sims))
+        # round BEFORE the local top-k and break ties by vec_id — the
+        # global sort (and the SQL oracle) rank by (rounded sim desc,
+        # vec_id asc); an unrounded local selection could discard a row
+        # the oracle keeps when the global k-th boundary falls inside a
+        # rounded-tie group within one block
+        r = np_round_half_away(sims, round_dp)
+        idx = np.lexsort((vec_ids, -r))[:k]
         return pa.table({
             "vec_id": pa.array(vec_ids[idx], type=pa.int64()),
-            "cos_sim": pa.array(np_round_half_away(sims[idx], round_dp),
-                                type=pa.float64()),
+            "cos_sim": pa.array(r[idx], type=pa.float64()),
         })
 
     out = ds.map_batches(local_topk, batch_format="pyarrow")
@@ -208,14 +210,11 @@ def lsh_topk(ds, query: np.ndarray, k: int = 50, *, n_planes: int = 8,
             return pa.table({"vec_id": pa.array([], type=pa.int64()),
                              "cos_sim": pa.array([], type=pa.float64())})
         vec_ids, sims = _batch_sims(batch, query)
-        if len(sims) > k:
-            idx = np.argpartition(-sims, k)[:k]
-        else:
-            idx = np.arange(len(sims))
+        r = np_round_half_away(sims, round_dp)
+        idx = np.lexsort((vec_ids, -r))[:k]
         return pa.table({
             "vec_id": pa.array(vec_ids[idx], type=pa.int64()),
-            "cos_sim": pa.array(np_round_half_away(sims[idx], round_dp),
-                                type=pa.float64()),
+            "cos_sim": pa.array(r[idx], type=pa.float64()),
         })
 
     # tiny state (64×n_planes floats): stateless tasks, hasher captured
