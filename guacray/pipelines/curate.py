@@ -12,9 +12,11 @@ The showpiece composition of the training-data operators — the shape a
       → write curated parquet
 
 Each stage is the independently-tested operator from stages/; this
-module only wires them.  Keep-decisions are joined back by broadcast
-key-set filters (semi/anti join pattern), so nothing but id sets and
-pair lists ever leaves the cluster.
+module only wires them.  Keep/drop decisions stay DISTRIBUTED: each
+gate produces an id-keyed Dataset that is applied with the size-aware
+``semi_join`` (broadcast sorted-array filter below threshold,
+hash-partitioned join above) — no O(corpus) id set is ever collected
+to the driver, so the composition survives 100 TB.
 """
 
 from __future__ import annotations
@@ -23,9 +25,9 @@ import os
 
 import pyarrow as pa
 import pyarrow.compute as pc
-import ray
 import ray.data as rd
 
+from ..stages.agg import semi_join
 from ..stages.dedup import exact_dedup, minhash_lsh_pairs
 from ..stages.quality import lang_id, quality_scores
 
@@ -34,43 +36,40 @@ def curate(sf_dir: str, *, allow_langs=("en", "es", "de", "fr"),
            min_quality: float = 0.3, near_dup_threshold: float = 0.6,
            sample_fraction: float | None = None, seed: int = 7,
            shuffle: bool = False):
-    """documents → curated Dataset (doc_id, text, lang, quality)."""
+    """documents → curated Dataset (doc_id, text, lang).
+
+    keep = lang-gate ∩ quality-gate ∩ exact-canonical − near-dup-dropped,
+    expressed as three chained semi joins and one anti join over
+    id-keyed decision Datasets.
+    """
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text", "lang"])
 
     # 1. language gate on the PREDICTED language (the provided lang
     # column is metadata; curation trusts the classifier)
     allow = pa.array(sorted(allow_langs))
-    scored_lang = lang_id(docs)
-    keep_lang = scored_lang.map_batches(
+    keep_lang = lang_id(docs).map_batches(
         lambda t: t.filter(pc.is_in(t["lang_pred"], value_set=allow))
                    .select(["doc_id"]),
         batch_format="pyarrow")
-    lang_ids = set(keep_lang.to_pandas()["doc_id"])
 
     # 2. quality gate
-    q = quality_scores(docs)
-    keep_q = q.map_batches(
+    keep_q = quality_scores(docs).map_batches(
         lambda t: t.filter(pc.greater_equal(
             t["quality"], pa.scalar(min_quality))).select(["doc_id"]),
         batch_format="pyarrow")
-    quality_ids = set(keep_q.to_pandas()["doc_id"])
 
     # 3. exact dedup: canonical (min doc_id) copy per distinct text
-    canon = exact_dedup(docs).to_pandas()
-    canon_ids = set(canon["doc_id"])
+    canon = exact_dedup(docs).select_columns(["doc_id"])
 
     # 4. near-dup: among canonical survivors, drop doc_b of each pair
-    pairs = minhash_lsh_pairs(docs, threshold=near_dup_threshold).to_pandas()
-    near_dropped = set(pairs["doc_b"])
+    dropped = minhash_lsh_pairs(docs, threshold=near_dup_threshold) \
+        .select_columns(["doc_b"])
 
-    keep = (lang_ids & quality_ids & canon_ids) - near_dropped
-    keep_ref = ray.put(pa.array(sorted(keep), type=pa.int64()))
-
-    out = docs.map_batches(
-        lambda t: t.filter(pc.is_in(t["doc_id"],
-                                    value_set=ray.get(keep_ref))),
-        batch_format="pyarrow")
+    out = semi_join(docs, keep_lang, on="doc_id")
+    out = semi_join(out, keep_q, on="doc_id")
+    out = semi_join(out, canon, on="doc_id")
+    out = semi_join(out, dropped, on="doc_id", right_on="doc_b", anti=True)
     if sample_fraction is not None:
         out = out.random_sample(sample_fraction, seed=seed)
     if shuffle:

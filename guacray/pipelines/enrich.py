@@ -199,9 +199,9 @@ def run_enrichment(out_dir: str, *, node_type: str = "org",
             return t.append_column("bucket", b)
 
         def dedup(t: pa.Table, key=key) -> pa.Table:
+            from ..stages.agg import agg_by_name
             cols = [c for c in t.column_names if c not in (key, "bucket")]
-            agg = t.group_by(key).aggregate([(c, "min") for c in cols])
-            return agg.rename_columns([key] + cols)
+            return agg_by_name(t, [key], [(c, "min", c) for c in cols])
 
         merged = merged.map_batches(bucketed, batch_format="pyarrow") \
             .repartition(nb).groupby("bucket") \

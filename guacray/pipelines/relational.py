@@ -235,7 +235,7 @@ def events_user_topk(sf_dir: str, k: int = 20):
                     descending=[True, False]).limit(k)
 
 
-def events_sessions(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 64):
+def events_sessions(sf_dir: str, gap_minutes: int = 30, num_buckets: int | None = None):
     """Session windows: per-user event runs split at >30-min gaps.
 
     Ray Data has no event-time windows; the idiomatic expression is
@@ -243,6 +243,8 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 64):
     sessionization over (user, ts)-sorted rows (ray_guide.md pattern).
     One Python call per *bucket*, not per user.
     """
+    from ..stages.canonicalize import resolve_buckets_pow2
+    num_buckets = resolve_buckets_pow2(num_buckets)
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["user_id", "ts", "event_id"])
     ds = ds.map_batches(
@@ -268,10 +270,12 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 64):
     return ds.groupby("bucket").map_groups(sessionize, batch_format="pandas")
 
 
-def top_order_per_customer(sf_dir: str, num_buckets: int = 64):
+def top_order_per_customer(sf_dir: str, num_buckets: int | None = None):
     """Per-group top-1 (window rank): each customer's highest-value
     order.  The row_number()-over-partition pattern: hash-bucket by
     key, vectorized idxmax within each bucket."""
+    from ..stages.canonicalize import resolve_buckets_pow2
+    num_buckets = resolve_buckets_pow2(num_buckets)
     ds = rd.read_parquet(_t(sf_dir, "orders"),
                          columns=["o_custkey", "o_orderkey", "o_totalprice"])
     ds = ds.map_batches(
@@ -289,10 +293,12 @@ def top_order_per_customer(sf_dir: str, num_buckets: int = 64):
     return ds.groupby("bucket").map_groups(top1, batch_format="pandas")
 
 
-def events_gap_us(sf_dir: str, num_buckets: int = 64):
+def events_gap_us(sf_dir: str, num_buckets: int | None = None):
     """Lag window: microseconds since the user's previous event (-1 for
     the first).  The per-key ordered-window pattern: hash-bucket by
     user, vectorized pandas diff within each bucket."""
+    from ..stages.canonicalize import resolve_buckets_pow2
+    num_buckets = resolve_buckets_pow2(num_buckets)
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["event_id", "user_id", "ts"])
     ds = ds.map_batches(
@@ -340,12 +346,14 @@ def events_asof_order(sf_dir: str):
 
 
 def events_sliding_avg(sf_dir: str, window_s: int = 3600,
-                       num_buckets: int = 64):
+                       num_buckets: int | None = None):
     """Sliding event-time window: per-event trailing-1h average of
     `value` within the user's own stream.  Ray Data has no window
     operator; the expression is hash-bucket by key + per-bucket
     vectorized pandas time-rolling over (user, ts)-sorted rows —
     equivalent to SQL `RANGE INTERVAL 1 HOUR PRECEDING`."""
+    from ..stages.canonicalize import resolve_buckets_pow2
+    num_buckets = resolve_buckets_pow2(num_buckets)
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["event_id", "user_id", "ts", "value"])
     ds = ds.map_batches(
@@ -526,12 +534,15 @@ def embedding_centroids(sf_dir: str):
 
 
 def doc_stratified_sample(sf_dir: str, per_group: int = 20, seed: int = 7,
-                          num_buckets: int = 16):
+                          num_buckets: int | None = None):
     """Deterministic stratified sample: ``per_group`` docs per language,
     selected by md5-hash order (a seeded, engine-independent shuffle —
     the same ranking is expressible in SQL, so this sampling op is
     fully oracle-checked, unlike RNG-based sampling)."""
     import hashlib
+
+    from ..stages.canonicalize import resolve_buckets
+    num_buckets = resolve_buckets(num_buckets)
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
 
     def rank_key(t: pa.Table) -> pa.Table:

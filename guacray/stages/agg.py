@@ -56,13 +56,15 @@ def _bucket_from_keys(t: pa.Table, keys: list[str], num_buckets: int) -> pa.Arra
 
 def grouped_agg(ds, keys: list[str] | str,
                 specs: list[tuple[str, str, str]],
-                num_buckets: int = 32):
+                num_buckets: int | None = None):
     """specs: [(column, op, alias)] with op ∈ {sum,count,min,max}.
 
     Returns a Dataset with columns keys + aliases (one row per key
     tuple).  count counts NON-NULL values of ``column`` (use a key
     column for row counts).
     """
+    from .canonicalize import resolve_buckets
+    num_buckets = resolve_buckets(num_buckets)
     if isinstance(keys, str):
         keys = [keys]
     aliases = [a for _, _, a in specs]
@@ -156,7 +158,7 @@ def auto_join(left, right, *, on: str, right_on: str,
 
 def asof_join(left, right, *, by_left: str, by_right: str,
               on_left: str, on_right: str, right_cols: list[str],
-              num_buckets: int = 64):
+              num_buckets: int | None = None):
     """As-of join: for each left row, the latest right row with the
     same key and on_right ≤ on_left (inner semantics: unmatched left
     rows drop).
@@ -168,6 +170,9 @@ def asof_join(left, right, *, by_left: str, by_right: str,
     """
     import numpy as np
     import pandas as pd
+
+    from .canonicalize import resolve_buckets_pow2
+    num_buckets = resolve_buckets_pow2(num_buckets)
 
     # unified schema for the co-grouping union: each side null-pads the
     # other's columns (Ray union requires identical schemas)
@@ -281,9 +286,13 @@ def semi_join(left, right, *, on: str, right_on: str | None = None,
     if num_partitions is None:
         num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
     if not anti:
-        return left.join(keys_ds, "inner", num_partitions=num_partitions,
-                         on=(on,), right_on=("__sj_key",)) \
-                   .drop_columns(["__sj_key"])
+        joined = left.join(keys_ds, "inner", num_partitions=num_partitions,
+                           on=(on,), right_on=("__sj_key",))
+        # Ray's join may or may not carry the right key column through
+        return joined.map_batches(
+            lambda t: t.drop_columns([c for c in ("__sj_key",)
+                                      if c in t.column_names]),
+            batch_format="pyarrow")
     marked = keys_ds.map_batches(
         lambda t: t.append_column("__sj_hit",
                                   pa.array([1] * t.num_rows, type=pa.int8())),

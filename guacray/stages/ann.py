@@ -17,6 +17,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.rounding import np_round_half_away
+from .canonicalize import resolve_buckets, resolve_buckets_pow2
 
 
 def make_query_vector(dim: int = 64, seed: int = 7) -> np.ndarray:
@@ -74,6 +75,8 @@ def label_centroids(ds, dim: int = 64, round_dp: int = 4):
 
     from ..functions.rounding import np_round_half_away
 
+    nb = resolve_buckets(None)
+
     def partial(batch: pa.Table) -> pa.Table:
         labels = batch["label"].to_numpy(zero_copy_only=False)
         emb = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
@@ -86,7 +89,7 @@ def label_centroids(ds, dim: int = 64, round_dp: int = 4):
             "vsum": pa.array([s.tolist() for s in sums],
                              type=pa.list_(pa.float64())),
             "n": pa.array(counts, type=pa.int64()),
-            "bucket": pa.array((uniq.astype("int64") % 16).astype("int32")),
+            "bucket": pa.array((uniq.astype("int64") % nb).astype("int32")),
         })
 
     def merge(group: pa.Table) -> pa.Table:
@@ -107,7 +110,7 @@ def label_centroids(ds, dim: int = 64, round_dp: int = 4):
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=None)
-    return partials.repartition(16).groupby("bucket") \
+    return partials.repartition(nb).groupby("bucket") \
         .map_groups(merge, batch_format="pyarrow")
 
 
@@ -153,10 +156,11 @@ def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 10,
     from ..functions.rounding import np_round_half_away
 
     _h = HyperplaneLSH(dim=64, n_planes=n_planes, seed=seed)
+    nb = resolve_buckets_pow2()
     hashed = ds.map_batches(_h, batch_format="pyarrow")
     hashed = hashed.map_batches(
         lambda t: t.append_column("bucket", pc.cast(
-            pc.bit_wise_and(t["lsh_bucket"], 63), pa.int32())),
+            pc.bit_wise_and(t["lsh_bucket"], nb - 1), pa.int32())),
         batch_format="pyarrow")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
@@ -184,7 +188,7 @@ def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 10,
             "cos_sim": pa.array(out_s, type=pa.float64()),
         })
 
-    return hashed.repartition(32).groupby("bucket") \
+    return hashed.repartition(nb).groupby("bucket") \
         .map_groups(bucket_pairs, batch_format="pyarrow")
 
 

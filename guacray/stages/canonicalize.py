@@ -34,6 +34,7 @@ import pyarrow.compute as pc
 
 from ..functions.keys import edge_id as _edge_id
 from ..functions.keys import node_id as _node_id
+from .agg import agg_by_name
 
 DEFAULT_BUCKETS = 32
 
@@ -46,6 +47,15 @@ def resolve_buckets(num_buckets: int | None) -> int:
         return num_buckets
     import ray
     return max(DEFAULT_BUCKETS, int(ray.cluster_resources().get("CPU", 16)))
+
+
+def resolve_buckets_pow2(num_buckets: int | None = None) -> int:
+    """``resolve_buckets`` rounded up to a power of two, for stages that
+    derive the bucket with ``pc.bit_wise_and(key, nb - 1)`` (cheapest
+    vectorized modulo for int keys).  Same scaling property: grows with
+    the cluster instead of capping reduce parallelism at a literal."""
+    b = resolve_buckets(num_buckets)
+    return 1 << (b - 1).bit_length()
 
 
 def _exchange(partials, merge_fn, num_buckets: int):
@@ -90,16 +100,16 @@ def _node_rows_batch(batch: pa.Table, num_buckets: int) -> pa.Table:
             "name": batch[f"{side}_name"],
         }))
     t = pa.concat_tables(sides)
-    agg = t.group_by("node_id").aggregate(
-        [("node_key", "min"), ("node_type", "min"), ("name", "min")])
-    agg = agg.rename_columns(["node_id", "node_key", "node_type", "name"])
+    agg = agg_by_name(t, ["node_id"], [
+        ("node_key", "min", "node_key"), ("node_type", "min", "node_type"),
+        ("name", "min", "name")])
     return agg.append_column("bucket", _bucket_of(agg["node_id"], num_buckets))
 
 
 def _node_merge_group(group: pa.Table) -> pa.Table:
-    agg = group.group_by("node_id").aggregate(
-        [("node_key", "min"), ("node_type", "min"), ("name", "min")])
-    return agg.rename_columns(["node_id", "node_key", "node_type", "name"])
+    return agg_by_name(group, ["node_id"], [
+        ("node_key", "min", "node_key"), ("node_type", "min", "node_type"),
+        ("name", "min", "name")])
 
 
 def _edge_partial_batch(batch: pa.Table, num_buckets: int) -> pa.Table:
@@ -111,22 +121,20 @@ def _edge_partial_batch(batch: pa.Table, num_buckets: int) -> pa.Table:
         "obj_id": batch["obj_id"],
         "warc_ts": batch["warc_ts"],
     })
-    agg = t.group_by("edge_id").aggregate(
-        [("subj_id", "min"), ("predicate", "min"), ("obj_id", "min"),
-         ("warc_ts", "min"), ("edge_id", "count")])
-    agg = agg.rename_columns(
-        ["edge_id", "subj_id", "predicate", "obj_id", "first_seen", "n_evidence"])
+    agg = agg_by_name(t, ["edge_id"], [
+        ("subj_id", "min", "subj_id"), ("predicate", "min", "predicate"),
+        ("obj_id", "min", "obj_id"), ("warc_ts", "min", "first_seen"),
+        ("edge_id", "count", "n_evidence")])
     agg = agg.set_column(agg.schema.get_field_index("n_evidence"),
                          "n_evidence", pc.cast(agg["n_evidence"], pa.int64()))
     return agg.append_column("bucket", _bucket_of(agg["edge_id"], num_buckets))
 
 
 def _edge_merge_group(group: pa.Table) -> pa.Table:
-    agg = group.group_by("edge_id").aggregate(
-        [("subj_id", "min"), ("predicate", "min"), ("obj_id", "min"),
-         ("first_seen", "min"), ("n_evidence", "sum")])
-    return agg.rename_columns(
-        ["edge_id", "subj_id", "predicate", "obj_id", "first_seen", "n_evidence"])
+    return agg_by_name(group, ["edge_id"], [
+        ("subj_id", "min", "subj_id"), ("predicate", "min", "predicate"),
+        ("obj_id", "min", "obj_id"), ("first_seen", "min", "first_seen"),
+        ("n_evidence", "sum", "n_evidence")])
 
 
 def add_ids(ds):
@@ -166,10 +174,9 @@ def _combined_partial(batch: pa.Table, num_buckets: int) -> pa.Table:
 
 
 def _combined_merge(group: pa.Table) -> pa.Table:
-    agg = group.group_by(["kind", "key"]).aggregate(
-        [("a", "min"), ("b", "min"), ("c", "min"),
-         ("ts", "min"), ("n", "sum")])
-    return agg.rename_columns(["kind", "key", "a", "b", "c", "ts", "n"])
+    return agg_by_name(group, ["kind", "key"], [
+        ("a", "min", "a"), ("b", "min", "b"), ("c", "min", "c"),
+        ("ts", "min", "ts"), ("n", "sum", "n")])
 
 
 def graph_tables(linked_ds, num_buckets: int | None = None):
@@ -252,10 +259,9 @@ def document_summary(linked_ds, num_buckets: int | None = None):
     nb = resolve_buckets(num_buckets)
 
     def partial(batch: pa.Table) -> pa.Table:
-        pairs = batch.group_by(["document_ref", "edge_id"]).aggregate(
-            [("url", "min"), ("warc_ts", "min"), ("edge_id", "count")])
-        pairs = pairs.rename_columns(
-            ["document_ref", "edge_id", "url", "first_ts", "n_triples"])
+        pairs = agg_by_name(batch, ["document_ref", "edge_id"], [
+            ("url", "min", "url"), ("warc_ts", "min", "first_ts"),
+            ("edge_id", "count", "n_triples")])
         pairs = pairs.set_column(
             pairs.schema.get_field_index("n_triples"), "n_triples",
             pc.cast(pairs["n_triples"], pa.int64()))
@@ -263,16 +269,13 @@ def document_summary(linked_ds, num_buckets: int | None = None):
             "bucket", _bucket_of_str(pairs["document_ref"], nb))
 
     def merge(group: pa.Table) -> pa.Table:
-        pairs = group.group_by(["document_ref", "edge_id"]).aggregate(
-            [("url", "min"), ("first_ts", "min"), ("n_triples", "sum")])
-        pairs = pairs.rename_columns(
-            ["document_ref", "edge_id", "url", "first_ts", "n_triples"])
-        agg = pairs.group_by("document_ref").aggregate(
-            [("url", "min"), ("first_ts", "min"), ("n_triples", "sum"),
-             ("document_ref", "count")])
-        agg = agg.rename_columns(
-            ["document_ref", "url", "first_ts", "n_triples",
-             "n_distinct_edges"])
+        pairs = agg_by_name(group, ["document_ref", "edge_id"], [
+            ("url", "min", "url"), ("first_ts", "min", "first_ts"),
+            ("n_triples", "sum", "n_triples")])
+        agg = agg_by_name(pairs, ["document_ref"], [
+            ("url", "min", "url"), ("first_ts", "min", "first_ts"),
+            ("n_triples", "sum", "n_triples"),
+            ("document_ref", "count", "n_distinct_edges")])
         for c in ("n_triples", "n_distinct_edges"):
             agg = agg.set_column(agg.schema.get_field_index(c), c,
                                  pc.cast(agg[c], pa.int64()))

@@ -23,6 +23,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .agg import agg_by_name
+from .canonicalize import resolve_buckets, resolve_buckets_pow2
+
 # ---------------------------------------------------------------- exact
 
 def _md5_col(texts: list[str]) -> pa.Array:
@@ -31,30 +34,32 @@ def _md5_col(texts: list[str]) -> pa.Array:
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                num_buckets: int = 32):
+                num_buckets: int | None = None):
     """Exact dedup: one row per distinct text.
 
     Output: text_hash, doc_id (min id = canonical copy), n_copies.
     Two-phase: per-batch partial (hash, min-id, count) then bucketed
     merge — the hot-key-safe pattern from stages/canonicalize.py.
     """
+    num_buckets = resolve_buckets(num_buckets)
+
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({
             "text_hash": _md5_col(batch[text_col].to_pylist()),
             id_col: batch[id_col],
         })
-        agg = t.group_by("text_hash").aggregate(
-            [(id_col, "min"), ("text_hash", "count")])
-        agg = agg.rename_columns(["text_hash", id_col, "n_copies"])
+        agg = agg_by_name(t, ["text_hash"],
+                          [(id_col, "min", id_col),
+                           ("text_hash", "count", "n_copies")])
         bucket = pa.array(
             [int(h[:8], 16) % num_buckets for h in agg["text_hash"].to_pylist()],
             type=pa.int32())
         return agg.append_column("bucket", bucket)
 
     def merge(group: pa.Table) -> pa.Table:
-        agg = group.group_by("text_hash").aggregate(
-            [(id_col, "min"), ("n_copies", "sum")])
-        agg = agg.rename_columns(["text_hash", id_col, "n_copies"])
+        agg = agg_by_name(group, ["text_hash"],
+                          [(id_col, "min", id_col),
+                           ("n_copies", "sum", "n_copies")])
         return agg.set_column(
             agg.schema.get_field_index("n_copies"), "n_copies",
             pc.cast(agg["n_copies"], pa.int64()))
@@ -170,8 +175,8 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16,
         })
 
     def pair_dedup(group: pa.Table) -> pa.Table:
-        agg = group.group_by(["doc_a", "doc_b"]).aggregate([("est_jaccard", "max")])
-        return agg.rename_columns(["doc_a", "doc_b", "est_jaccard"])
+        return agg_by_name(group, ["doc_a", "doc_b"],
+                           [("est_jaccard", "max", "est_jaccard")])
 
     # MinHasher's state is ~1 KB of permutation params — construct per
     # worker (cached) in stateless tasks; an actor pool's spin-up costs
@@ -186,18 +191,21 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16,
                                           shingle_k=shingle_k)
         return h(batch)
 
+    nb = resolve_buckets_pow2()
     signed = ds.map_batches(sign, batch_format="pyarrow")
     banded = signed.map_batches(to_bands, batch_format="pyarrow")
-    # coarse bucket on band_hash so each map_groups call is vectorized
+    # coarse bucket on band_hash so each map_groups call is vectorized;
+    # bucket count scales with the cluster (resolve_buckets_pow2), never
+    # a literal that caps reduce parallelism
     banded = banded.map_batches(lambda t: t.append_column(
-        "bucket", pc.cast(pc.bit_wise_and(t["band_hash"], 63), pa.int32())),
+        "bucket", pc.cast(pc.bit_wise_and(t["band_hash"], nb - 1), pa.int32())),
         batch_format="pyarrow")
-    pairs = banded.repartition(16).groupby("bucket").map_groups(
+    pairs = banded.repartition(nb).groupby("bucket").map_groups(
         bucket_pairs, batch_format="pyarrow")
     pairs = pairs.map_batches(lambda t: t.append_column(
-        "bucket", pc.cast(pc.bit_wise_and(t["doc_a"], 63), pa.int32())),
+        "bucket", pc.cast(pc.bit_wise_and(t["doc_a"], nb - 1), pa.int32())),
         batch_format="pyarrow")
-    return pairs.repartition(16).groupby("bucket").map_groups(
+    return pairs.repartition(nb).groupby("bucket").map_groups(
         pair_dedup, batch_format="pyarrow")
 
 
@@ -228,7 +236,10 @@ class SimHasher:
         hs = [self.simhash(t) for t in batch["text"].to_pylist()]
         return pa.table({
             "doc_id": batch["doc_id"],
-            "simhash": pa.array([h >> 1 for h in hs], type=pa.int64()),
+            # FULL 64-bit hash (uint64): truncating to 63 bits would
+            # drop bit-0 differences, under-reporting Hamming distance
+            # by one and admitting pairs at true distance max_hamming+1
+            "simhash": pa.array(hs, type=pa.uint64()),
             # 4 bands of 16 bits for bucketing (Hamming ≤ 3 ⇒ at least
             # one band identical, pigeonhole)
             **{f"band{i}": pa.array([(h >> (16 * i)) & 0xFFFF for h in hs],
@@ -256,8 +267,9 @@ def simhash_pairs(ds, max_hamming: int = 3):
     exploded = signed.map_batches(
         lambda t: pa.concat_tables([band_rows(t, i) for i in range(4)]),
         batch_format="pyarrow")
+    nb = resolve_buckets_pow2()
     exploded = exploded.map_batches(lambda t: t.append_column(
-        "bucket", pc.cast(pc.bit_wise_and(t["band_key"], 63), pa.int32())),
+        "bucket", pc.cast(pc.bit_wise_and(t["band_key"], nb - 1), pa.int32())),
         batch_format="pyarrow")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
@@ -284,15 +296,15 @@ def simhash_pairs(ds, max_hamming: int = 3):
         })
 
     def pair_dedup(group: pa.Table) -> pa.Table:
-        agg = group.group_by(["doc_a", "doc_b"]).aggregate([("hamming", "min")])
-        return agg.rename_columns(["doc_a", "doc_b", "hamming"])
+        return agg_by_name(group, ["doc_a", "doc_b"],
+                           [("hamming", "min", "hamming")])
 
-    pairs = exploded.repartition(16).groupby("bucket").map_groups(
+    pairs = exploded.repartition(nb).groupby("bucket").map_groups(
         bucket_pairs, batch_format="pyarrow")
     pairs = pairs.map_batches(lambda t: t.append_column(
-        "bucket", pc.cast(pc.bit_wise_and(t["doc_a"], 63), pa.int32())),
+        "bucket", pc.cast(pc.bit_wise_and(t["doc_a"], nb - 1), pa.int32())),
         batch_format="pyarrow")
-    return pairs.repartition(16).groupby("bucket").map_groups(
+    return pairs.repartition(nb).groupby("bucket").map_groups(
         pair_dedup, batch_format="pyarrow")
 
 

@@ -53,7 +53,7 @@ def extract(ds, batch_size: int = 512):
                           batch_size=batch_size)
 
 
-def identifier_strings(triples_ds, num_buckets: int = 32):
+def identifier_strings(triples_ds, num_buckets: int | None = None):
     """Distinct mention surfaces with counts — the collectsub feedback
     feed (parsers push found identifier strings so collectors can
     discover new work, /root/reference/pkg/ingestor/ingestor.go:189-201,
@@ -65,13 +65,16 @@ def identifier_strings(triples_ds, num_buckets: int = 32):
     """
     import pyarrow.compute as pc
 
+    from .canonicalize import resolve_buckets
+    num_buckets = resolve_buckets(num_buckets)
+
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.concat_tables([
             pa.table({"surface": batch["subj_surface"]}),
             pa.table({"surface": batch["obj_surface"]}),
         ])
-        agg = t.group_by("surface").aggregate([("surface", "count")])
-        agg = agg.rename_columns(["surface", "n_mentions"])
+        from .agg import agg_by_name
+        agg = agg_by_name(t, ["surface"], [("surface", "count", "n_mentions")])
         import hashlib
         bucket = pa.array(
             [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=4)
@@ -80,8 +83,9 @@ def identifier_strings(triples_ds, num_buckets: int = 32):
         return agg.append_column("bucket", bucket)
 
     def merge(group: pa.Table) -> pa.Table:
-        agg = group.group_by("surface").aggregate([("n_mentions", "sum")])
-        agg = agg.rename_columns(["surface", "n_mentions"])
+        from .agg import agg_by_name
+        agg = agg_by_name(group, ["surface"],
+                          [("n_mentions", "sum", "n_mentions")])
         return agg.set_column(1, "n_mentions",
                               pc.cast(agg["n_mentions"], pa.int64()))
 

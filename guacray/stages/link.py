@@ -89,10 +89,11 @@ def link_via_join(ds, alias_table, num_partitions: int | None = None):
     Produces byte-identical output to the actor-pool path (tested).
     ``alias_table`` columns: surface, etype, canonical.
     """
+    import pandas as pd
     import pyarrow.compute as pc
 
     from ..functions.keys import entity_key, fallback_key
-    from ..stages.agg import auto_join
+    from ..stages.agg import auto_join, semi_join
 
     # 1. distinct surfaces
     def surfaces_batch(t: pa.Table) -> pa.Table:
@@ -103,51 +104,74 @@ def link_via_join(ds, alias_table, num_partitions: int | None = None):
 
     surfaces = ds.map_batches(surfaces_batch, batch_format="pyarrow",
                               batch_size=None)
+    # the per-block group_by above is only a combiner: finish with the
+    # two-phase bucketed exchange so each surface resolves exactly ONCE
+    # globally (duplicate mapping rows would fan out the join-back)
+    from ..stages.agg import grouped_agg
+    surfaces = grouped_agg(surfaces, "surface",
+                           [("surface", "count", "__n")]) \
+        .drop_columns(["__n"]).materialize()
     surfaces = surfaces.map_batches(
         lambda t: t.append_column("lsurface", pc.utf8_lower(t["surface"])),
         batch_format="pyarrow")
 
-    # 2. resolve against the alias table (left side keeps unmatched)
-    import pandas as pd
-    import ray
-
-    resolved = auto_join(surfaces, alias_table,
-                         on="lsurface", right_on="alias")
+    # 2. resolve: matched surfaces via the alias join, unmatched via
+    # distributed fallback minting — the union covers EVERY distinct
+    # surface, so the join-back below is a plain inner join
+    matched = auto_join(surfaces, alias_table,
+                        on="lsurface", right_on="alias")
 
     def finish_resolution(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({"surface": df["surface"]})
-        out["rtype"] = df["etype"]
-        out["rkey"] = [entity_key(e, c) for e, c in
-                       zip(df["etype"], df["canonical"])]
-        out["rname"] = df["canonical"]
-        return out
+        return pd.DataFrame({
+            "surface": df["surface"],
+            "rtype": df["etype"],
+            "rkey": [entity_key(e, c) for e, c in
+                     zip(df["etype"], df["canonical"])],
+            "rname": df["canonical"],
+        })
 
-    resolved = resolved.map_batches(finish_resolution, batch_format="pandas")
-    res_df = resolved.to_pandas()  # resolved mapping: |distinct surfaces|
-    # (at extreme scale this collect becomes joins back per side — the
-    # auto_join below IS that join; broadcast is the small-side case)
-    res_map = {s: (t, k, n) for s, t, k, n in zip(
-        res_df["surface"], res_df["rtype"], res_df["rkey"], res_df["rname"])}
-    map_ref = ray.put(res_map)
+    matched = matched.map_batches(finish_resolution, batch_format="pandas")
 
-    def apply(t: pa.Table) -> pa.Table:
-        m = ray.get(map_ref)
-        cols = {f"{side}_{f}": [] for side in ("subj", "obj")
-                for f in ("type", "key", "name")}
-        for side in ("subj", "obj"):
-            for v in t[f"{side}_surface"].to_pylist():
-                hit = m.get(v)
-                if hit is None:
-                    hit = ("unknown", fallback_key(v), v.strip().lower())
-                cols[f"{side}_type"].append(hit[0])
-                cols[f"{side}_key"].append(hit[1])
-                cols[f"{side}_name"].append(hit[2])
-        for name, vals in cols.items():
-            t = t.append_column(name, pa.array(vals, type=pa.string()))
-        from .canonicalize import add_ids_batch
-        return add_ids_batch(t)
+    unmatched = semi_join(surfaces, alias_table,
+                          on="lsurface", right_on="alias", anti=True)
 
-    return ds.map_batches(apply, batch_format="pyarrow")
+    def mint_fallback(t: pa.Table) -> pa.Table:
+        surfs = t["surface"].to_pylist()
+        return pa.table({
+            "surface": t["surface"],
+            "rtype": pa.array(["unknown"] * len(surfs), type=pa.string()),
+            "rkey": pa.array([fallback_key(v) for v in surfs],
+                             type=pa.string()),
+            "rname": pa.array([v.strip().lower() for v in surfs],
+                              type=pa.string()),
+        })
+
+    unmatched = unmatched.map_batches(mint_fallback, batch_format="pyarrow")
+    mapping = matched.union(unmatched).materialize()
+
+    # 3. join the resolved mapping back, once per side (each surface
+    # appears exactly once in `mapping`, so the inner join is 1:1) —
+    # the mapping stays a Dataset end to end: auto_join broadcasts it
+    # only when it is small, and hash-partitions when it is not
+    out = ds
+    for side in ("subj", "obj"):
+        side_map = mapping.map_batches(
+            lambda t, side=side: pa.table({
+                "__map_surface": t["surface"],
+                f"{side}_type": t["rtype"],
+                f"{side}_key": t["rkey"],
+                f"{side}_name": t["rname"],
+            }),
+            batch_format="pyarrow")
+        out = auto_join(out, side_map, on=f"{side}_surface",
+                        right_on="__map_surface")
+        out = out.map_batches(
+            lambda t: t.drop_columns([c for c in ("__map_surface",)
+                                      if c in t.column_names]),
+            batch_format="pyarrow")
+
+    from .canonicalize import add_ids_batch
+    return out.map_batches(add_ids_batch, batch_format="pyarrow")
 
 
 def alias_dataset(seed: int = 42):

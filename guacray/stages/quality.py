@@ -86,28 +86,31 @@ def norm_fingerprint(ds):
     Groups documents that differ only in case/whitespace.
     Output: fp, doc_id (min), n_docs.  SQL-checkable."""
     import hashlib
+
+    from .agg import agg_by_name
+    from .canonicalize import resolve_buckets
     ws = re.compile(r"\s+")
+    nb = resolve_buckets(None)
 
     def fn(batch: pa.Table) -> pa.Table:
         fps = [hashlib.md5(ws.sub(" ", t.lower()).encode()).hexdigest()
                for t in batch["text"].to_pylist()]
         t = pa.table({"fp": pa.array(fps, type=pa.string()),
                       "doc_id": batch["doc_id"]})
-        agg = t.group_by("fp").aggregate([("doc_id", "min"), ("fp", "count")])
-        agg = agg.rename_columns(["fp", "doc_id", "n_docs"])
-        bucket = pa.array([int(h[:8], 16) % 32 for h in agg["fp"].to_pylist()],
+        agg = agg_by_name(t, ["fp"], [("doc_id", "min", "doc_id"),
+                                      ("fp", "count", "n_docs")])
+        bucket = pa.array([int(h[:8], 16) % nb for h in agg["fp"].to_pylist()],
                           type=pa.int32())
         return agg.append_column("bucket", bucket)
 
     def merge(group: pa.Table) -> pa.Table:
-        agg = group.group_by("fp").aggregate(
-            [("doc_id", "min"), ("n_docs", "sum")])
-        agg = agg.rename_columns(["fp", "doc_id", "n_docs"])
+        agg = agg_by_name(group, ["fp"], [("doc_id", "min", "doc_id"),
+                                          ("n_docs", "sum", "n_docs")])
         return agg.set_column(agg.schema.get_field_index("n_docs"), "n_docs",
                               pc.cast(agg["n_docs"], pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None) \
-             .repartition(32) \
+             .repartition(nb) \
              .groupby("bucket").map_groups(merge, batch_format="pyarrow")
 
 

@@ -218,3 +218,54 @@ def test_curation_pipeline():
     assert out["text"].nunique() == len(out)
     rep = curation_report(sf).to_pandas()
     assert rep["n_curated"][0] == len(out)
+
+
+def test_curate_matches_driver_set_semantics():
+    """The distributed-join curation must keep EXACTLY the ids the
+    naive driver-side set algebra keeps: (lang ∩ quality ∩ canonical)
+    − near-dup-dropped."""
+    import pyarrow.compute as pc
+
+    from guacray.pipelines.curate import curate
+    from guacray.stages.dedup import exact_dedup, minhash_lsh_pairs
+    from guacray.stages.quality import lang_id, quality_scores
+
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    allow = pa.array(sorted(("en", "es", "de", "fr")))
+    lang_ids = set(lang_id(docs).map_batches(
+        lambda t: t.filter(pc.is_in(t["lang_pred"], value_set=allow)),
+        batch_format="pyarrow").to_pandas()["doc_id"])
+    q_ids = set(quality_scores(docs).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["quality"], pa.scalar(0.3))),
+        batch_format="pyarrow").to_pandas()["doc_id"])
+    canon_ids = set(exact_dedup(docs).to_pandas()["doc_id"])
+    dropped = set(minhash_lsh_pairs(docs, threshold=0.6)
+                  .to_pandas()["doc_b"])
+    expect = (lang_ids & q_ids & canon_ids) - dropped
+    got = set(curate(sf).to_pandas()["doc_id"])
+    assert got == expect
+
+
+def test_semi_join_scale_path_matches_broadcast():
+    """semi/anti results identical on the broadcast and the
+    hash-partitioned (threshold=0) paths."""
+    from guacray.stages.agg import semi_join
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5, 5], type=pa.int64()),
+        "v": pa.array(list("abcdef")),
+    }))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([2, 5, 5, 9], type=pa.int64()),
+    }))
+    for anti in (False, True):
+        a = semi_join(left, right, on="k", right_on="rk",
+                      anti=anti).to_pandas()
+        b = semi_join(left, right, on="k", right_on="rk", anti=anti,
+                      broadcast_threshold=0).to_pandas()
+        a = a.sort_values(["k", "v"]).reset_index(drop=True)
+        b = b.sort_values(["k", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a[["k", "v"]], b[["k", "v"]])
+        expect = {1, 3, 4} if anti else {2, 5}
+        assert set(a["k"]) == expect
