@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_order": R.events_asof_order,
         "events_distinct_users": R.events_distinct_users,
         "lineitem_quantiles": R.lineitem_quantiles,
+        "lineitem_quantiles_kll": R.lineitem_quantiles_kll,
         "top_order_per_customer": R.top_order_per_customer,
         "mention_topk": R.mention_topk,
         # training-data ops over documents (SQL-checked)

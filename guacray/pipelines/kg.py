@@ -219,7 +219,12 @@ def run_kg_resumable(pages_files: list[str], out_dir: str, *,
               for i in range(0, len(files), files_per_partition)]
     for i, group in enumerate(groups):
         pid = f"part-{i:05d}"
-        if man.done(pid):
+        # skip only when the committed entry's recorded inputs match
+        # THIS group: partition ids are positional, so a changed input
+        # list (new file sorting first, different files_per_partition)
+        # shifts groups and a bare done() check would silently skip
+        # unprocessed files / keep stale outputs
+        if man.done_with_inputs(pid, group):
             continue
         started = time.time()
         part_dir = os.path.join(tri_root, f"part={i:05d}")
@@ -234,8 +239,12 @@ def run_kg_resumable(pages_files: list[str], out_dir: str, *,
                                for p in group),
                    rows_out=rows_out, started=started)
 
-    # only manifest-committed partitions feed the shuffle phase
-    part_dirs = [e["outputs"][0] for e in man.completed().values()]
+    # only manifest-committed partitions OF THIS RUN'S GROUPING feed the
+    # shuffle phase (stale entries from a previous, differently-grouped
+    # run would double-ingest their files)
+    valid = {f"part-{i:05d}" for i in range(len(groups))}
+    part_dirs = [e["outputs"][0] for pid, e in man.completed().items()
+                 if pid in valid]
     # read_parquet expands a single dir, but a LIST of paths must be files
     part_files = [os.path.join(d, f) for d in part_dirs
                   for f in sorted(os.listdir(d)) if f.endswith(".parquet")]

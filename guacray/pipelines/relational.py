@@ -384,23 +384,54 @@ def events_sliding_avg(sf_dir: str, window_s: int = 3600,
 
 
 def lineitem_quantiles(sf_dir: str):
-    """Holistic (non-algebraic) aggregate: per-flag median/p90 quantity.
-    Quantiles need the full group — expressed as groupby().map_groups
-    over the (low-cardinality) flag key; numpy 'linear' interpolation
-    matches DuckDB quantile_cont."""
+    """Holistic aggregate via an exact MERGEABLE histogram: per-flag
+    median/p90 quantity.
+
+    A naive groupby(flag).map_groups hands each reducer a full group —
+    ⅓ of the table in one task, OOM at 100×.  l_quantity is
+    low-cardinality, so the scale-safe exact plan is two-phase: combine
+    (flag, value) counts per block, merge counts in the bucketed
+    exchange (the histogram is algebraic), then compute quantile_cont
+    from the weighted histogram — every task sees O(#distinct) rows.
+    High-cardinality columns use the KLL sketch instead
+    (stages/sketches.py, ``approx_quantiles``).
+    """
+    from ..stages.sketches import weighted_quantile_cont
     ds = rd.read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_returnflag", "l_quantity"])
+    hist = grouped_agg(ds, ["l_returnflag", "l_quantity"],
+                       [("l_quantity", "count", "n")])
 
     def q(df: pd.DataFrame) -> pd.DataFrame:
         from ..functions.rounding import round_half_away
         v = df["l_quantity"].to_numpy()
+        c = df["n"].to_numpy()
         return pd.DataFrame({
             "l_returnflag": [df["l_returnflag"].iloc[0]],
-            "median_qty": [round_half_away(float(np.percentile(v, 50)), 4)],
-            "p90_qty": [round_half_away(float(np.percentile(v, 90)), 4)],
+            "median_qty": [round_half_away(
+                weighted_quantile_cont(v, c, 0.5), 4)],
+            "p90_qty": [round_half_away(
+                weighted_quantile_cont(v, c, 0.9), 4)],
         })
 
-    return ds.groupby("l_returnflag").map_groups(q, batch_format="pandas")
+    return hist.groupby("l_returnflag").map_groups(q, batch_format="pandas")
+
+
+def lineitem_quantiles_kll(sf_dir: str, k: int = 200):
+    """Approximate global price quantiles via the mergeable KLL sketch
+    (the high-cardinality quantile path; rows-only oracle — the sketch
+    is approximate by construction, its error bound is property-tested
+    in tests/)."""
+    from ..stages.sketches import approx_quantiles
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_extendedprice"])
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = approx_quantiles(ds, "l_extendedprice", qs, k=k)
+    return pa.table({
+        "q": pa.array(qs, type=pa.float64()),
+        "est_price": pa.array([round(float(e), 2) for e in est],
+                              type=pa.float64()),
+    })
 
 
 def events_distinct_users(sf_dir: str):

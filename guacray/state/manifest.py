@@ -31,6 +31,24 @@ class Manifest:
     def done(self, partition_id: str) -> bool:
         return os.path.exists(self._path(partition_id))
 
+    def entry(self, partition_id: str) -> dict | None:
+        """The committed entry for a partition, or None."""
+        try:
+            with open(self._path(partition_id)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def done_with_inputs(self, partition_id: str, inputs: list[str]) -> bool:
+        """True only if the partition is committed AND was produced from
+        exactly ``inputs``.  Positional partition ids shift when the
+        input file list changes (a new file sorting first, a different
+        grouping) — skipping on id alone would silently drop or
+        double-ingest files; validating recorded lineage forces a
+        reprocess on mismatch."""
+        e = self.entry(partition_id)
+        return e is not None and e.get("inputs") == list(inputs)
+
     def completed(self) -> dict[str, dict]:
         out = {}
         for name in sorted(os.listdir(self.dir)):

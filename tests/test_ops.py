@@ -269,3 +269,56 @@ def test_semi_join_scale_path_matches_broadcast():
         pd.testing.assert_frame_equal(a[["k", "v"]], b[["k", "v"]])
         expect = {1, 3, 4} if anti else {2, 5}
         assert set(a["k"]) == expect
+
+
+def test_kll_rank_error_and_merge():
+    """KLL sketch: rank error within bound; merging shard sketches ≈
+    sketching the whole; serialization roundtrip exact."""
+    from guacray.stages.sketches import KLL
+    rng = np.random.RandomState(3)
+    data = rng.standard_normal(30000)
+    sd = np.sort(data)
+
+    s = KLL(200)
+    s.add_many(data)
+    for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+        rank = np.searchsorted(sd, s.quantile(q)) / len(sd)
+        assert abs(rank - q) < 0.03, (q, rank)
+
+    parts = [KLL(200) for _ in range(8)]
+    for i, p in enumerate(parts):
+        p.add_many(data[i::8])
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.merge(p)
+    assert acc.n == len(data)
+    for q in (0.1, 0.5, 0.9):
+        rank = np.searchsorted(sd, acc.quantile(q)) / len(sd)
+        assert abs(rank - q) < 0.05, (q, rank)
+
+    rt = KLL.deserialize(acc.serialize())
+    assert rt.quantile(0.5) == acc.quantile(0.5)
+    # sketch stays sublinear
+    assert acc._size() < 1000
+
+
+def test_weighted_quantile_cont_matches_numpy():
+    from guacray.stages.sketches import weighted_quantile_cont
+    rng = np.random.RandomState(5)
+    vals = rng.randint(1, 51, size=5000).astype(float)
+    uq, ct = np.unique(vals, return_counts=True)
+    for q in (0.0, 0.1, 0.5, 0.9, 0.99, 1.0):
+        assert abs(weighted_quantile_cont(uq, ct, q)
+                   - float(np.percentile(vals, q * 100))) < 1e-9
+
+
+def test_approx_quantiles_dataset():
+    from guacray.stages.sketches import approx_quantiles
+    rng = np.random.RandomState(9)
+    vals = rng.exponential(100.0, size=20000)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals)}))
+    est = approx_quantiles(ds, "x", [0.5, 0.9])
+    sv = np.sort(vals)
+    for e, q in zip(est, (0.5, 0.9)):
+        rank = np.searchsorted(sv, e) / len(sv)
+        assert abs(rank - q) < 0.03

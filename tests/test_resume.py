@@ -71,3 +71,35 @@ def test_manifest_lineage_fields(tmp_path):
     # manifest is valid json on disk (atomic write landed)
     path = os.path.join(out, "triples", "_manifest", "part-00000.json")
     json.load(open(path))
+
+
+def test_changed_input_grouping_reprocesses(tmp_path):
+    """Positional partition ids shift when the input list changes; the
+    manifest must invalidate by recorded lineage, not id."""
+    files = _split_pages(tmp_path, n=192, parts=3)
+    out = str(tmp_path / "out")
+    run_kg_resumable(files, out, files_per_partition=1)
+    baseline = _edges(out)
+
+    # add a file that sorts FIRST: every group shifts by one
+    extra_pages = generate_pages(64, url_offset=1_000_000)
+    extra = str(tmp_path / "aaa-extra.parquet")
+    pq.write_table(extra_pages, extra)
+    run_kg_resumable(sorted(files + [extra]), out, files_per_partition=1)
+
+    # clean-room run over the same 4 files must match exactly
+    out2 = str(tmp_path / "out2")
+    run_kg_resumable(sorted(files + [extra]), out2, files_per_partition=1)
+    pd.testing.assert_frame_equal(_edges(out), _edges(out2))
+
+
+def test_stale_partitions_excluded_after_regrouping(tmp_path):
+    """Fewer groups on rerun (larger files_per_partition): entries past
+    the new group count must not feed the shuffle phase."""
+    files = _split_pages(tmp_path, n=192, parts=3)
+    out = str(tmp_path / "out")
+    run_kg_resumable(files, out, files_per_partition=1)   # 3 partitions
+    run_kg_resumable(files, out, files_per_partition=3)   # 1 partition
+    out2 = str(tmp_path / "out2")
+    run_kg_resumable(files, out2, files_per_partition=3)
+    pd.testing.assert_frame_equal(_edges(out), _edges(out2))
