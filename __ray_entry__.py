@@ -52,6 +52,24 @@ def _kg_doc_summary(sf_dir: str):
     return document_summary(_kg(sf_dir, "triples"))
 
 
+def _kg_edge_props(sf_dir: str):
+    """Typed-edge-prop rollup: count canonical edges per (predicate,
+    props) for prop-carrying edges (version on released, role on
+    works_at) — the InputSpec-payload query surface."""
+    import pyarrow.compute as pc
+    from guacray.stages.agg import grouped_agg
+    edges = _kg(sf_dir, "edges").map_batches(
+        lambda t: t.filter(pc.not_equal(t["props"], pa_scalar_empty())),
+        batch_format="pyarrow")
+    return grouped_agg(edges, ["predicate", "props"],
+                       [("edge_id", "count", "n_edges")])
+
+
+def pa_scalar_empty():
+    import pyarrow as pa
+    return pa.scalar("", type=pa.string())
+
+
 def entry() -> Any:
     """Flagship: KG construction (pages → canonical edges) at sf0.001,
     plus a smoke read of the driver-provided documents table."""
@@ -113,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_evidence": lambda sf: _kg(sf, "evidence"),
         "kg_identifiers": _kg_identifiers,
         "kg_document_summary": _kg_doc_summary,
+        "kg_edge_props": _kg_edge_props,
     }
     return q
 

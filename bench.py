@@ -52,7 +52,9 @@ def run_bench() -> dict:
 
     sf = _sf_name()
     n_pages = _PAGES_FOR_SF.get(sf, 4096)
-    pages_dir = f"/tmp/guacray_bench/pages_{sf}_{n_pages}"
+    # v2: generator gained role-clause sentences (typed edge props) —
+    # new dir so stale round-1 shards are never mixed in
+    pages_dir = f"/tmp/guacray_bench/pages_v2_{sf}_{n_pages}"
     write_pages_sharded(pages_dir, n_pages, seed=SEED)
 
     # warm the page cache (untimed): one full read of the inputs

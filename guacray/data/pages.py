@@ -45,6 +45,9 @@ _TEMPLATES = [
 
 _LANGS = ["en"] * 16 + ["de", "es", "fr", "zz"]  # "zz" is gated out
 
+# role clause for works_at statements (exercises typed edge props)
+_ROLES = ["engineer", "manager", "analyst", "director", "designer"]
+
 
 def _noise_sentence(rng: random.Random) -> str:
     n = rng.randint(5, 12)
@@ -67,7 +70,11 @@ def _fact_sentence(rng: random.Random, cat: Catalog, head_alias: str | None) -> 
     if rng.random() < 0.06:
         # out-of-catalog mention → exercises fallback identity minting
         s = f"Visitor {rng.randrange(10000)}"
-    return fmt.format(s=s, o=o)
+    sent = fmt.format(s=s, o=o)
+    if pred == "works_at" and rng.random() < 0.25:
+        # trailing role clause → extracted as a `role` edge prop
+        sent = sent[:-1] + f" as {rng.choice(_ROLES)}."
+    return sent
 
 
 def _page_html(rng: random.Random, cat: Catalog, idx: int, head_alias: str | None,

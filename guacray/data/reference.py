@@ -14,24 +14,9 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..functions.hashing import document_ref
-from ..functions.keys import edge_id, entity_key, fallback_key, node_id
+from ..functions.keys import edge_id, link_surface, node_id, node_qualifiers
 from ..functions.text import ACCEPTED_LANGS, extract_raw_triples, extract_text
 from .catalog import build_catalog
-
-
-def link_surface(surface: str, alias_map: dict[str, tuple[str, str]]) -> tuple[str, str, str]:
-    """surface → (etype, node_key, canonical_name).
-
-    Unlinkable surfaces get a minted fallback identity (the analog of
-    GuacGenericPurl, helpers/purl.go:258-295).  canonical_name is a pure
-    function of the identity — so node attrs need no first-wins ordering
-    under distributed dedup.
-    """
-    hit = alias_map.get(surface.lower())
-    if hit is None:
-        return "unknown", fallback_key(surface), surface.strip().lower()
-    etype, canonical = hit
-    return etype, entity_key(etype, canonical), canonical
 
 
 def reference_triples(pages: pa.Table, seed: int = 42) -> list[dict]:
@@ -47,7 +32,7 @@ def reference_triples(pages: pa.Table, seed: int = 42) -> list[dict]:
             continue
         text = extract_text(row["html"])
         dref = document_ref(row["html"])
-        for subj_s, pred, obj_s in extract_raw_triples(text):
+        for subj_s, pred, obj_s, props in extract_raw_triples(text):
             s_type, s_key, s_name = link_surface(subj_s, alias_map)
             o_type, o_key, o_name = link_surface(obj_s, alias_map)
             out.append({
@@ -55,7 +40,7 @@ def reference_triples(pages: pa.Table, seed: int = 42) -> list[dict]:
                 "document_ref": dref,
                 "subj_surface": subj_s, "subj_type": s_type,
                 "subj_key": s_key, "subj_name": s_name,
-                "predicate": pred,
+                "predicate": pred, "props": props,
                 "obj_surface": obj_s, "obj_type": o_type,
                 "obj_key": o_key, "obj_name": o_name,
             })
@@ -80,13 +65,15 @@ def reference_graph(pages: pa.Table, seed: int = 42) -> tuple[list[dict], list[d
             if nid not in nodes:
                 nodes[nid] = {"node_id": nid, "node_key": key,
                               "node_type": t[f"{side}_type"],
-                              "name": t[f"{side}_name"]}
+                              "name": t[f"{side}_name"],
+                              "qualifiers": node_qualifiers(key)}
         sid, oid = node_id(t["subj_key"]), node_id(t["obj_key"])
-        eid = edge_id(sid, t["predicate"], oid)
+        eid = edge_id(sid, t["predicate"], oid, t["props"])
         e = edges.get(eid)
         if e is None:
             edges[eid] = {"edge_id": eid, "subj_id": sid,
                           "predicate": t["predicate"], "obj_id": oid,
+                          "props": t["props"],
                           "first_seen": t["warc_ts"], "n_evidence": 1}
         else:
             e["n_evidence"] += 1

@@ -79,13 +79,76 @@ def node_id(node_key: str) -> str:
     return content_id("node", node_key)
 
 
-def edge_id(subj_id: str, predicate: str, obj_id: str) -> str:
-    """Content key of a canonical edge (subject, predicate, object).
+def edge_id(subj_id: str, predicate: str, obj_id: str,
+            props: str = "") -> str:
+    """Content key of a canonical edge (subject, predicate, object
+    [, props]).
+
+    Typed edge properties participate in identity exactly as in the
+    reference, where the edge hash covers the full InputSpec payload
+    (keyvalue/isDependency.go:46-56): ``released v3.0`` and ``released
+    v4.0`` are DISTINCT edges.  A propless edge hashes identically to
+    the pre-props scheme, so existing persisted graphs stay valid.
 
     Evidence (document_ref/url/warc_ts) lives in the separate evidence
-    table, keyed by this edge_id — the reference instead folds provenance
-    into per-edge props and dedups on the full hash
-    (keyvalue/isDependency.go:46-56); we split identity from evidence so
-    the edges table stays small and the evidence table stays append-only.
+    table, keyed by this edge_id — identity split from evidence keeps
+    the edges table small and the evidence table append-only.
     """
+    if props:
+        return content_id("edge", subj_id, predicate, obj_id, props)
     return content_id("edge", subj_id, predicate, obj_id)
+
+
+def link_surface(surface: str,
+                 alias_map: dict[str, tuple[str, str]]) -> tuple[str, str, str]:
+    """surface → (etype, node_key, canonical_name) — THE linking rule,
+    shared by the distributed linker stages and the single-threaded
+    reference oracle so parity is structural.
+
+    Unlinkable surfaces get a minted fallback identity (the analog of
+    GuacGenericPurl, helpers/purl.go:258-295).  A PRODUCT surface that
+    carries a trailing version number links to a version-QUALIFIED node
+    key (the pkgName→pkgVersion trie level of the reference,
+    helpers/package.go:26-99): ``HyperWidget 3.0`` →
+    ``ent:product::hyperwidget::version=3.0``.
+    """
+    hit = alias_map.get(surface.lower())
+    if hit is None:
+        # pkgName-level lookup: an unknown versioned surface whose BASE
+        # is a known product links as that product with a version
+        # qualifier ("HyperWidget 9.0" → hyperwidget::version=9.0 even
+        # if only "HyperWidget" is cataloged) — the trie fallback of
+        # helpers/package.go:26-99
+        from .text import VERSION_RE
+        m = VERSION_RE.match(surface.strip())
+        if m:
+            base_hit = alias_map.get(m.group("base").lower())
+            if base_hit is not None and base_hit[0] == "product":
+                etype, canonical = base_hit
+                return etype, entity_key(
+                    etype, canonical,
+                    {"version": m.group("ver")}), canonical
+        return "unknown", fallback_key(surface), surface.strip().lower()
+    etype, canonical = hit
+    return etype, linked_key(surface, etype, canonical), canonical
+
+
+def linked_key(surface: str, etype: str, canonical: str) -> str:
+    """Node key for a resolved (surface, etype, canonical) — the one
+    place the version-qualifier rule lives, shared by the actor-pool
+    linker, the join-path linker, and the reference oracle."""
+    quals = None
+    if etype == "product":
+        from .text import VERSION_RE
+        m = VERSION_RE.match(surface.strip())
+        if m:
+            quals = {"version": m.group("ver")}
+    return entity_key(etype, canonical, quals)
+
+
+def node_qualifiers(node_key: str) -> str:
+    """The canonical qualifiers segment of a node key ("" when none) —
+    a pure projection, so the nodes table's ``qualifiers`` column needs
+    no first-wins ordering."""
+    parts = node_key.split("::")
+    return parts[2] if len(parts) > 2 else ""

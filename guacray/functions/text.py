@@ -93,13 +93,63 @@ def sentences(text: str) -> Iterable[str]:
                 yield sent
 
 
-def extract_raw_triples(text: str) -> list[tuple[str, str, str]]:
-    """text → [(subj_surface, predicate, obj_surface)], document order.
+# Typed statement properties — the analog of GUAC's per-edge InputSpec
+# payloads (dependency type / VEX status / scan metadata,
+# /root/reference/pkg/assembler/assembler.go:51-194).  Each predicate
+# may derive properties from the raw object surface; properties are
+# canonicalized to a sorted, URL-quoted "k=v&k=v" string (the same
+# serialization entity_key uses for node qualifiers) so they sort,
+# hash, and dedup as plain strings.
+VERSION_RE = re.compile(r"^(?P<base>.+?) (?P<ver>\d+(?:\.\d+)+)$")
+
+
+def props_string(props: dict[str, str]) -> str:
+    import urllib.parse as _u
+    return "&".join(f"{_u.quote(k, safe='')}={_u.quote(str(props[k]), safe='')}"
+                    for k in sorted(props))
+
+
+def parse_props(s: str) -> dict[str, str]:
+    import urllib.parse as _u
+    if not s:
+        return {}
+    out: dict[str, str] = {}
+    for kv in s.split("&"):
+        k, _, v = kv.partition("=")
+        out[_u.unquote(k)] = _u.unquote(v)
+    return out
+
+
+def derive_props(pred: str, obj: str) -> tuple[str, str]:
+    """(object surface, canonical props string) for a raw statement.
+
+    works_at: a trailing " as <role>" clause becomes a ``role`` prop
+    and is stripped from the object (the org surface links cleanly).
+    released: a trailing version number becomes a ``version`` prop; the
+    object keeps the full surface (versioned product aliases link as
+    such, and the linker mints a version-qualified node).
+    """
+    if pred == "works_at":
+        parts = obj.rsplit(" as ", 1)
+        if len(parts) == 2 and parts[0].strip() and parts[1].strip():
+            return parts[0].strip(), props_string(
+                {"role": parts[1].strip().lower()})
+    elif pred == "released":
+        m = VERSION_RE.match(obj)
+        if m:
+            return obj, props_string({"version": m.group("ver")})
+    return obj, ""
+
+
+def extract_raw_triples(text: str) -> list[tuple[str, str, str, str]]:
+    """text → [(subj_surface, predicate, obj_surface, props)], document
+    order; ``props`` is the canonical sorted "k=v&k=v" string ("" when
+    the statement carries none).
 
     Deterministic: first matching pattern wins per sentence (patterns are
     ordered); trailing sentence punctuation stripped from the object.
     """
-    out: list[tuple[str, str, str]] = []
+    out: list[tuple[str, str, str, str]] = []
     for sent in sentences(text):
         stripped = sent.rstrip(".!?").strip()
         for pred, pat in PREDICATE_PATTERNS:
@@ -108,7 +158,8 @@ def extract_raw_triples(text: str) -> list[tuple[str, str, str]]:
                 subj = m.group("s").strip()
                 obj = m.group("o").strip()
                 if subj and obj:
-                    out.append((subj, pred, obj))
+                    obj, props = derive_props(pred, obj)
+                    out.append((subj, pred, obj, props))
                 break
     return out
 

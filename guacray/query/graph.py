@@ -288,6 +288,42 @@ class GraphStore:
             lambda t: t.select(["a_id", "b_id", "c_id"]),
             batch_format="pyarrow")
 
+    def edges_with_prop(self, key: str, value: str | None = None,
+                        predicates: list[str] | None = None):
+        """Edges carrying typed property ``key`` (optionally with an
+        exact value) — the props-filtered query the reference answers
+        from InputSpec payloads (e.g. dependencies with
+        scope=runtime).  The canonical "k=v&k=v" props string makes
+        this a vectorized substring match on '&'-padded boundaries."""
+        import urllib.parse as _u
+        qk = _u.quote(key, safe="")
+        needle = (f"&{qk}=" if value is None
+                  else f"&{qk}={_u.quote(str(value), safe='')}&")
+
+        def fn(t: pa.Table) -> pa.Table:
+            amp = pa.array(["&"] * t.num_rows, type=pa.string())
+            padded = pc.binary_join_element_wise(amp, t["props"], amp, "")
+            return t.filter(pc.match_substring(padded, needle))
+        return self._read_edges(predicates=predicates).map_batches(
+            fn, batch_format="pyarrow")
+
+    def nodes_with_qualifier(self, key: str, value: str | None = None):
+        """Nodes whose key carries qualifier ``key`` (optionally an
+        exact value) — the pkg-trie qualifier filter
+        (helpers/package.go:26-99)."""
+        import urllib.parse as _u
+        qk = _u.quote(key, safe="")
+        needle = (f"&{qk}=" if value is None
+                  else f"&{qk}={_u.quote(str(value), safe='')}&")
+
+        def fn(t: pa.Table) -> pa.Table:
+            amp = pa.array(["&"] * t.num_rows, type=pa.string())
+            padded = pc.binary_join_element_wise(amp, t["qualifiers"],
+                                                 amp, "")
+            return t.filter(pc.match_substring(padded, needle))
+        return rd.read_parquet(self.nodes_path).map_batches(
+            fn, batch_format="pyarrow")
+
     def nodes_page(self, *, after_node_id: str = "", limit: int = 100,
                    node_type: str | None = None):
         """Cursor-based pagination over nodes ordered by node_id — the

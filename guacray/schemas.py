@@ -24,6 +24,7 @@ TRIPLES = pa.schema([
     ("subj_surface", pa.string()),
     ("predicate", pa.string()),
     ("obj_surface", pa.string()),
+    ("props", pa.string()),
     ("subj_type", pa.string()),
     ("subj_key", pa.string()),
     ("subj_name", pa.string()),
@@ -40,6 +41,9 @@ NODES = pa.schema([
     ("node_key", pa.string()),
     ("node_type", pa.string()),
     ("name", pa.string()),
+    # canonical qualifiers segment of node_key ("" when none) — the
+    # pkg-trie qualifier payload (helpers/package.go:26-99)
+    ("qualifiers", pa.string()),
 ])
 
 EDGES = pa.schema([
@@ -47,6 +51,10 @@ EDGES = pa.schema([
     ("subj_id", pa.string()),
     ("predicate", pa.string()),
     ("obj_id", pa.string()),
+    # typed edge properties: canonical sorted "k=v&k=v" string ("" when
+    # none) — the InputSpec payload (assembler.go:51-194), part of edge
+    # identity
+    ("props", pa.string()),
     ("first_seen", TS),
     ("n_evidence", pa.int64()),
 ])

@@ -280,6 +280,8 @@ def semi_join(left, right, *, on: str, right_on: str | None = None,
     keys_ds = right.map_batches(distinct_keys, batch_format="pyarrow",
                                 batch_size=None).materialize()
     n = keys_ds.count()
+    if n == 0:
+        return left if anti else left.limit(0)
     if n <= broadcast_threshold:
         vals = keys_ds.to_pandas()["__sj_key"].tolist()
         return semi_join_filter(left, vals, on, anti=anti)

@@ -34,6 +34,7 @@ import pyarrow.compute as pc
 
 from ..functions.keys import edge_id as _edge_id
 from ..functions.keys import node_id as _node_id
+from ..functions.keys import node_qualifiers
 from .agg import agg_by_name
 
 DEFAULT_BUCKETS = 32
@@ -78,11 +79,18 @@ def _bucket_of(ids: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
 
 
 def add_ids_batch(batch: pa.Table) -> pa.Table:
-    """Stamp content-hash subj_id / obj_id / edge_id columns."""
+    """Stamp content-hash subj_id / obj_id / edge_id columns.
+
+    Edge identity covers the typed props string (when present), so
+    prop-distinct statements stay distinct edges (assembler InputSpec
+    identity, keyvalue/isDependency.go:46-56)."""
     subj_ids = [_node_id(k) for k in batch["subj_key"].to_pylist()]
     obj_ids = [_node_id(k) for k in batch["obj_key"].to_pylist()]
     preds = batch["predicate"].to_pylist()
-    eids = [_edge_id(s, p, o) for s, p, o in zip(subj_ids, preds, obj_ids)]
+    props = (batch["props"].to_pylist() if "props" in batch.column_names
+             else [""] * batch.num_rows)
+    eids = [_edge_id(s, p, o, pr)
+            for s, p, o, pr in zip(subj_ids, preds, obj_ids, props)]
     batch = batch.append_column("subj_id", pa.array(subj_ids, type=pa.string()))
     batch = batch.append_column("obj_id", pa.array(obj_ids, type=pa.string()))
     batch = batch.append_column("edge_id", pa.array(eids, type=pa.string()))
@@ -103,27 +111,38 @@ def _node_rows_batch(batch: pa.Table, num_buckets: int) -> pa.Table:
     agg = agg_by_name(t, ["node_id"], [
         ("node_key", "min", "node_key"), ("node_type", "min", "node_type"),
         ("name", "min", "name")])
+    # qualifiers: pure projection of the key (no first-wins ordering
+    # needed) — the pkg-trie qualifier column of helpers/package.go:26-99
+    agg = agg.append_column("qualifiers", pa.array(
+        [node_qualifiers(k) for k in agg["node_key"].to_pylist()],
+        type=pa.string()))
     return agg.append_column("bucket", _bucket_of(agg["node_id"], num_buckets))
 
 
 def _node_merge_group(group: pa.Table) -> pa.Table:
     return agg_by_name(group, ["node_id"], [
         ("node_key", "min", "node_key"), ("node_type", "min", "node_type"),
-        ("name", "min", "name")])
+        ("name", "min", "name"), ("qualifiers", "min", "qualifiers")])
 
 
 def _edge_partial_batch(batch: pa.Table, num_buckets: int) -> pa.Table:
     """Combiner: partial edge aggregate (count evidence, min first_seen)."""
+    props = (batch["props"] if "props" in batch.column_names
+             else pa.array([""] * batch.num_rows, type=pa.string()))
     t = pa.table({
         "edge_id": batch["edge_id"],
         "subj_id": batch["subj_id"],
         "predicate": batch["predicate"],
         "obj_id": batch["obj_id"],
+        "props": props,
         "warc_ts": batch["warc_ts"],
     })
+    # props is constant within an edge_id group (it is hashed into the
+    # id), so "min" is a carry, not a choice
     agg = agg_by_name(t, ["edge_id"], [
         ("subj_id", "min", "subj_id"), ("predicate", "min", "predicate"),
-        ("obj_id", "min", "obj_id"), ("warc_ts", "min", "first_seen"),
+        ("obj_id", "min", "obj_id"), ("props", "min", "props"),
+        ("warc_ts", "min", "first_seen"),
         ("edge_id", "count", "n_evidence")])
     agg = agg.set_column(agg.schema.get_field_index("n_evidence"),
                          "n_evidence", pc.cast(agg["n_evidence"], pa.int64()))
@@ -133,7 +152,8 @@ def _edge_partial_batch(batch: pa.Table, num_buckets: int) -> pa.Table:
 def _edge_merge_group(group: pa.Table) -> pa.Table:
     return agg_by_name(group, ["edge_id"], [
         ("subj_id", "min", "subj_id"), ("predicate", "min", "predicate"),
-        ("obj_id", "min", "obj_id"), ("first_seen", "min", "first_seen"),
+        ("obj_id", "min", "obj_id"), ("props", "min", "props"),
+        ("first_seen", "min", "first_seen"),
         ("n_evidence", "sum", "n_evidence")])
 
 
@@ -158,6 +178,7 @@ def _combined_partial(batch: pa.Table, num_buckets: int) -> pa.Table:
         "kind": pa.array([0] * n.num_rows, type=pa.int8()),
         "key": n["node_id"],
         "a": n["node_key"], "b": n["node_type"], "c": n["name"],
+        "d": n["qualifiers"],
         "ts": pa.nulls(n.num_rows, type=ts_type),
         "n": pa.nulls(n.num_rows, type=pa.int64()),
         "bucket": n["bucket"],
@@ -166,6 +187,7 @@ def _combined_partial(batch: pa.Table, num_buckets: int) -> pa.Table:
         "kind": pa.array([1] * e.num_rows, type=pa.int8()),
         "key": e["edge_id"],
         "a": e["subj_id"], "b": e["predicate"], "c": e["obj_id"],
+        "d": e["props"],
         "ts": e["first_seen"],
         "n": pc.cast(e["n_evidence"], pa.int64()),
         "bucket": e["bucket"],
@@ -176,7 +198,7 @@ def _combined_partial(batch: pa.Table, num_buckets: int) -> pa.Table:
 def _combined_merge(group: pa.Table) -> pa.Table:
     return agg_by_name(group, ["kind", "key"], [
         ("a", "min", "a"), ("b", "min", "b"), ("c", "min", "c"),
-        ("ts", "min", "ts"), ("n", "sum", "n")])
+        ("d", "min", "d"), ("ts", "min", "ts"), ("n", "sum", "n")])
 
 
 def graph_tables(linked_ds, num_buckets: int | None = None):
@@ -198,13 +220,14 @@ def graph_tables(linked_ds, num_buckets: int | None = None):
     def to_nodes(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["kind"], pa.scalar(0, type=pa.int8())))
         return pa.table({"node_id": t["key"], "node_key": t["a"],
-                         "node_type": t["b"], "name": t["c"]})
+                         "node_type": t["b"], "name": t["c"],
+                         "qualifiers": t["d"]})
 
     def to_edges(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["kind"], pa.scalar(1, type=pa.int8())))
         return pa.table({"edge_id": t["key"], "subj_id": t["a"],
                          "predicate": t["b"], "obj_id": t["c"],
-                         "first_seen": t["ts"],
+                         "props": t["d"], "first_seen": t["ts"],
                          "n_evidence": pc.cast(t["n"], pa.int64())})
 
     nodes = combined.map_batches(to_nodes, batch_format="pyarrow")

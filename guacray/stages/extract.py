@@ -22,7 +22,7 @@ from ..functions.text import extract_raw_triples
 
 def extract_batch(batch: pa.Table) -> pa.Table:
     urls, tss, drefs = [], [], []
-    subjs, preds, objs = [], [], []
+    subjs, preds, objs, props = [], [], [], []
     url_c, ts_c, dref_c, text_c = (batch["url"], batch["warc_ts"],
                                    batch["document_ref"], batch["text"])
     for i in range(batch.num_rows):
@@ -30,13 +30,14 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         if not triples:
             continue
         u, ts, dr = url_c[i].as_py(), ts_c[i].as_py(), dref_c[i].as_py()
-        for s, p, o in triples:
+        for s, p, o, pr in triples:
             urls.append(u)
             tss.append(ts)
             drefs.append(dr)
             subjs.append(s)
             preds.append(p)
             objs.append(o)
+            props.append(pr)
     return pa.table({
         "url": pa.array(urls, type=pa.string()),
         "warc_ts": pa.array(tss, type=batch.schema.field("warc_ts").type),
@@ -44,6 +45,9 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         "subj_surface": pa.array(subjs, type=pa.string()),
         "predicate": pa.array(preds, type=pa.string()),
         "obj_surface": pa.array(objs, type=pa.string()),
+        # typed statement properties (assembler.go:51-194 InputSpec
+        # analog) — canonical sorted "k=v&k=v" string, "" when none
+        "props": pa.array(props, type=pa.string()),
     })
 
 

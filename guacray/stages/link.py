@@ -45,12 +45,8 @@ class Linker:
         hit = self._cache.get(surface)
         if hit is not None:
             return hit
-        m = self.alias_map.get(surface.lower())
-        if m is None:
-            res = ("unknown", fallback_key(surface), surface.strip().lower())
-        else:
-            etype, canonical = m
-            res = (etype, entity_key(etype, canonical), canonical)
+        from ..functions.keys import link_surface
+        res = link_surface(surface, self.alias_map)
         self._cache[surface] = res
         return res
 
@@ -122,18 +118,48 @@ def link_via_join(ds, alias_table, num_partitions: int | None = None):
                         on="lsurface", right_on="alias")
 
     def finish_resolution(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.keys import linked_key
         return pd.DataFrame({
             "surface": df["surface"],
             "rtype": df["etype"],
-            "rkey": [entity_key(e, c) for e, c in
-                     zip(df["etype"], df["canonical"])],
+            "rkey": [linked_key(s, e, c) for s, e, c in
+                     zip(df["surface"], df["etype"], df["canonical"])],
             "rname": df["canonical"],
         })
 
     matched = matched.map_batches(finish_resolution, batch_format="pandas")
 
     unmatched = semi_join(surfaces, alias_table,
-                          on="lsurface", right_on="alias", anti=True)
+                          on="lsurface", right_on="alias",
+                          anti=True).materialize()
+
+    # pkgName-level second pass (keys.link_surface's trie fallback): an
+    # unmatched versioned surface joins the alias table on its BASE name
+    from ..functions.text import VERSION_RE
+
+    def with_base(t: pa.Table) -> pa.Table:
+        bases = []
+        for v in t["surface"].to_pylist():
+            m = VERSION_RE.match(v.strip())
+            bases.append(m.group("base").lower() if m else "\x00none")
+        return t.append_column("lbase", pa.array(bases, type=pa.string()))
+
+    based = unmatched.map_batches(with_base, batch_format="pyarrow")
+    base_matched = auto_join(based, alias_table,
+                             on="lbase", right_on="alias")
+    base_matched = base_matched.map_batches(
+        lambda t: t.filter(pc.equal(t["etype"], pa.scalar("product"))),
+        batch_format="pyarrow")
+    base_matched2 = base_matched.map_batches(finish_resolution,
+                                             batch_format="pandas")
+
+    # fallback minting for everything still unresolved
+    fallback_side = semi_join(
+        unmatched,
+        base_matched.map_batches(
+            lambda t: pa.table({"surface": t["surface"]}),
+            batch_format="pyarrow"),
+        on="surface", anti=True)
 
     def mint_fallback(t: pa.Table) -> pa.Table:
         surfs = t["surface"].to_pylist()
@@ -146,8 +172,9 @@ def link_via_join(ds, alias_table, num_partitions: int | None = None):
                               type=pa.string()),
         })
 
-    unmatched = unmatched.map_batches(mint_fallback, batch_format="pyarrow")
-    mapping = matched.union(unmatched).materialize()
+    fallback_side = fallback_side.map_batches(mint_fallback,
+                                              batch_format="pyarrow")
+    mapping = matched.union(base_matched2).union(fallback_side).materialize()
 
     # 3. join the resolved mapping back, once per side (each surface
     # appears exactly once in `mapping`, so the inner join is 1:1) —

@@ -28,7 +28,7 @@ def test_extract_text_total(blob):
 @given(st.text(max_size=500))
 @settings(max_examples=200, deadline=None)
 def test_extract_triples_total(text):
-    for s, p, o in extract_raw_triples(text):
+    for s, p, o, pr in extract_raw_triples(text):
         assert s and o and p
 
 

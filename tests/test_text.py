@@ -40,8 +40,8 @@ def test_sentences_and_triples():
         "Alpha works at Beta Corp.", "Noise here.",
         "Beta Corp acquired Gamma Labs."]
     assert extract_raw_triples(text) == [
-        ("Alpha", "works_at", "Beta Corp"),
-        ("Beta Corp", "acquired", "Gamma Labs")]
+        ("Alpha", "works_at", "Beta Corp", ""),
+        ("Beta Corp", "acquired", "Gamma Labs", "")]
 
 
 def test_pages_generator_deterministic():
@@ -85,8 +85,8 @@ def test_unicode_through_extraction_and_linking():
             "Müller GmbH is located in Zürich.</p></body></html>").encode()
     text = extract_text(html)
     triples = extract_raw_triples(text)
-    assert ("Søren Kierkegård", "works_at", "Müller GmbH") in triples
-    assert ("Müller GmbH", "located_in", "Zürich") in triples
+    assert ("Søren Kierkegård", "works_at", "Müller GmbH", "") in triples
+    assert ("Müller GmbH", "located_in", "Zürich", "") in triples
 
     lk = Linker({"müller gmbh": ("org", "Müller GmbH")})
     batch = pa.table({
