@@ -15,7 +15,8 @@ import pyarrow as pa
 
 from ..functions.hashing import document_ref
 from ..functions.keys import edge_id, link_surface, node_id, node_qualifiers
-from ..functions.text import ACCEPTED_LANGS, extract_raw_triples, extract_text
+from ..functions.text import (ACCEPTED_LANGS, SYMMETRIC_PREDICATES,
+                              extract_raw_triples, extract_text)
 from .catalog import build_catalog
 
 
@@ -68,13 +69,16 @@ def reference_graph(pages: pa.Table, seed: int = 42) -> tuple[list[dict], list[d
                               "name": t[f"{side}_name"],
                               "qualifiers": node_qualifiers(key)}
         sid, oid = node_id(t["subj_key"]), node_id(t["obj_key"])
+        if t["predicate"] in SYMMETRIC_PREDICATES and oid < sid:
+            sid, oid = oid, sid
         eid = edge_id(sid, t["predicate"], oid, t["props"])
         e = edges.get(eid)
         if e is None:
             edges[eid] = {"edge_id": eid, "subj_id": sid,
                           "predicate": t["predicate"], "obj_id": oid,
                           "props": t["props"],
-                          "first_seen": t["warc_ts"], "n_evidence": 1}
+                          "first_seen": t["warc_ts"], "n_evidence": 1,
+                          "undirected": t["predicate"] in SYMMETRIC_PREDICATES}
         else:
             e["n_evidence"] += 1
             if t["warc_ts"] < e["first_seen"]:

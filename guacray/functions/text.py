@@ -82,6 +82,12 @@ PREDICATE_PATTERNS: list[tuple[str, re.Pattern[str]]] = [
 
 PREDICATES = [p for p, _ in PREDICATE_PATTERNS]
 
+# Undirected ("equal") predicates — the HashEqual/PkgEqual semantics of
+# the reference, where the edge is stored once regardless of statement
+# orientation (/root/reference/pkg/assembler/assembler.go:84).
+# partnered_with is symmetric in the web-text domain.
+SYMMETRIC_PREDICATES = frozenset({"partnered_with"})
+
 _SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
 
 

@@ -628,10 +628,16 @@ def media_features(sf_dir: str, n: int = 128):
 
 
 def embedding_near_dup_pairs(sf_dir: str):
+    """The driver's embeddings are uniform-random vectors, so true
+    near-dups (cos ≥ 0.9) don't exist by construction — the query runs
+    the operator at a similarity level the data actually contains
+    (p99.9 pairwise cos ≈ 0.38 at sf0.01) so the output demonstrates
+    live signal; the 0.9-threshold behavior is covered by the planted
+    near-dup pytest (test_embedding_near_dups)."""
     from ..stages.ann import embedding_near_dups
     ds = rd.read_parquet(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
-    return embedding_near_dups(ds, threshold=0.9)
+    return embedding_near_dups(ds, threshold=0.3, n_planes=4)
 
 
 def doc_curation_report(sf_dir: str):

@@ -324,6 +324,78 @@ class GraphStore:
         return rd.read_parquet(self.nodes_path).map_batches(
             fn, batch_format="pyarrow")
 
+    def equivalence_class(self, node_id: str,
+                          predicate: str = "partnered_with",
+                          max_depth: int = 10) -> set[str]:
+        """Connected component over an undirected ("equal") predicate —
+        the start-node equivalence expansion of the reference's
+        retrieveDependencies (guacrest/server/retrieveDependencies.go:
+        145-260, HashEqual/PkgEqual class walk)."""
+        return set(self.reachable(node_id, direction="both",
+                                  predicates=[predicate],
+                                  max_depth=max_depth))
+
+    def neighbors_of_class(self, node_id: str, *,
+                           via_predicate: str = "partnered_with",
+                           predicates: list[str] | None = None):
+        """Neighbors of the WHOLE equivalence class of ``node_id`` —
+        query-time class expansion: edges of any class member (any
+        direction), excluding the intra-class equal edges themselves."""
+        cls = self.equivalence_class(node_id, via_predicate)
+        ref = ray.put(pa.array(sorted(cls)))
+
+        def fn(t: pa.Table) -> pa.Table:
+            fr = ray.get(ref)
+            m = pc.or_(pc.is_in(t["subj_id"], value_set=fr),
+                       pc.is_in(t["obj_id"], value_set=fr))
+            m = pc.and_(m, pc.not_equal(t["predicate"],
+                                        pa.scalar(via_predicate)))
+            return t.filter(m)
+
+        preds = predicates
+        return self._read_edges(predicates=preds).map_batches(
+            fn, batch_format="pyarrow")
+
+    def chain(self, predicates: list[str],
+              props_filters: list[tuple[str, str | None] | None] | None = None):
+        """n-hop distributed join chain:
+        (n0)-[p0]->(n1)-[p1]->(n2)-...->(nK), optionally filtering each
+        hop's edges by a typed prop (key, value) — the searchForSBOM
+        3-hop shape (sboms ⋈ deps ⋈ vulns with per-dep filtering,
+        /root/reference/pkg/guacanalytics/searchForSBOM.go:35-456).
+
+        Nothing touches the driver: each hop is a size-aware
+        ``auto_join`` on the shared node id.  Output columns: n0..nK.
+        """
+        from ..stages.agg import auto_join
+        assert predicates, "need at least one hop"
+        if props_filters is None:
+            props_filters = [None] * len(predicates)
+
+        def hop_edges(i: int):
+            pf = props_filters[i]
+            if pf is None:
+                return self._read_edges(predicates=[predicates[i]])
+            return self.edges_with_prop(pf[0], pf[1],
+                                        predicates=[predicates[i]])
+
+        out = hop_edges(0).map_batches(
+            lambda t: pa.table({"n0": t["subj_id"], "n1": t["obj_id"]}),
+            batch_format="pyarrow")
+        for i in range(1, len(predicates)):
+            nxt = hop_edges(i).map_batches(
+                lambda t, i=i: pa.table({f"__k{i}": t["subj_id"],
+                                         f"n{i + 1}": t["obj_id"]}),
+                batch_format="pyarrow")
+            out = auto_join(out, nxt, on=f"n{i}", right_on=f"__k{i}")
+            out = out.map_batches(
+                lambda t, i=i: t.drop_columns(
+                    [c for c in (f"__k{i}",) if c in t.column_names]),
+                batch_format="pyarrow")
+        cols = [f"n{i}" for i in range(len(predicates) + 1)]
+        return out.map_batches(lambda t: t.select(cols),
+                               batch_format="pyarrow")
+
     def nodes_page(self, *, after_node_id: str = "", limit: int = 100,
                    node_type: str | None = None):
         """Cursor-based pagination over nodes ordered by node_id — the

@@ -57,6 +57,9 @@ EDGES = pa.schema([
     ("props", pa.string()),
     ("first_seen", TS),
     ("n_evidence", pa.int64()),
+    # equal-edge flag (assembler.go:84): true for symmetric predicates,
+    # whose (subj_id, obj_id) are stored in canonical min-first order
+    ("undirected", pa.bool_()),
 ])
 
 EVIDENCE = pa.schema([

@@ -24,8 +24,42 @@ def read_pages(path_or_dir: str, *, langs: list[str] | None = None,
 
 
 def read_binary_docs(path_or_dir: str):
-    """FileCollector analog: arbitrary files → (path, bytes) rows."""
-    return rd.read_binary_files(path_or_dir, include_paths=True)
+    """FileCollector analog: arbitrary files → (path, bytes) rows,
+    bytes RAW.
+
+    ``rd.read_binary_files`` transparently decompresses known
+    extensions (and crashes on mislabeled files, with no way to turn
+    detection off — its ``compression=None`` means "detect").  The
+    engine's own decode stage (``decode_compressed`` / ``unpack_tree``)
+    must own the codec decision so malformed blobs dead-letter instead;
+    so: enumerate files (driver, metadata only) → ``from_items`` paths
+    → per-task raw read with compression disabled.  Each task reads its
+    own file — same distribution as the built-in reader."""
+    from pyarrow import fs as pafs
+
+    if "://" in path_or_dir:
+        filesystem, root = pafs.FileSystem.from_uri(path_or_dir)
+    else:
+        filesystem, root = pafs.LocalFileSystem(), path_or_dir
+    info = filesystem.get_file_info(root)
+    if info.type == pafs.FileType.Directory:
+        sel = pafs.FileSelector(root, recursive=True)
+        files = sorted(f.path for f in filesystem.get_file_info(sel)
+                       if f.type == pafs.FileType.File)
+    else:
+        files = [root]
+
+    ds = rd.from_items([{"path": p} for p in files])
+
+    def load(batch: pa.Table) -> pa.Table:
+        paths = batch["path"].to_pylist()
+        blobs = []
+        for p in paths:
+            with filesystem.open_input_stream(p, compression=None) as f:
+                blobs.append(f.read())
+        return pa.table({"bytes": pa.array(blobs, type=pa.binary()),
+                         "path": pa.array(paths, type=pa.string())})
+    return ds.map_batches(load, batch_format="pyarrow")
 
 
 def explode_jsonlines(ds, blob_col: str = "bytes"):
@@ -84,3 +118,316 @@ READERS = {
     "csv": read_csv,
     "text": read_text_lines,
 }
+
+# (compressed/recursive sources compose: read_binary_docs →
+# decode_compressed / unpack_tree below)
+
+
+# ---------------------------------------------------- compressed inputs
+
+# extension map + magic-byte sniff, mirroring the reference's
+# decode-by-extension table (/root/reference/pkg/handler/processor/
+# process/process.go:277-318; ext map processor/processor.go:92-101).
+# gzip/bzip2/xz decode via stdlib; zstd is gated behind an import-try
+# (library absent in some deploys — the row dead-letters instead of
+# crashing the stage).
+_COMPRESSION_EXT = {".bz2": "bzip2", ".gz": "gzip", ".gzip": "gzip",
+                    ".xz": "xz", ".zst": "zstd", ".zstd": "zstd"}
+_COMPRESSION_MAGIC = [
+    (b"BZh", "bzip2"),
+    (b"\x1f\x8b", "gzip"),
+    (b"\xfd7zXZ\x00", "xz"),
+    (b"\x28\xb5\x2f\xfd", "zstd"),
+]
+
+
+def sniff_compression(path: str, blob: bytes) -> str | None:
+    """Codec name or None — extension first (the reference's rule),
+    magic bytes as fallback for extensionless blobs."""
+    import os as _os
+    ext = _os.path.splitext(path.lower())[1]
+    if ext in _COMPRESSION_EXT:
+        return _COMPRESSION_EXT[ext]
+    for magic, codec in _COMPRESSION_MAGIC:
+        if blob[:len(magic)] == magic:
+            return codec
+    return None
+
+
+def decode_blob(blob: bytes, codec: str) -> bytes:
+    if codec == "bzip2":
+        import bz2
+        return bz2.decompress(blob)
+    if codec == "gzip":
+        import gzip
+        return gzip.decompress(blob)
+    if codec == "xz":
+        import lzma
+        return lzma.decompress(blob)
+    if codec == "zstd":
+        try:
+            import zstandard
+        except ImportError as e:
+            raise NotImplementedError(
+                "zstd input needs the 'zstandard' package") from e
+        return zstandard.ZstdDecompressor().decompress(blob)
+    raise ValueError(f"unknown codec: {codec}")
+
+
+def decode_compressed(ds, blob_col: str = "bytes"):
+    """Decode compressed blobs by extension/sniff; pass-through for
+    uncompressed rows; failures dead-letter into an ``error`` column
+    (the reference logs-and-skips; we keep poison rows queryable)."""
+    import pyarrow as _pa
+
+    def fn(batch: _pa.Table) -> _pa.Table:
+        paths, blobs, codecs, errors = [], [], [], []
+        for path, blob in zip(batch["path"].to_pylist(),
+                              batch[blob_col].to_pylist()):
+            codec = sniff_compression(path, blob)
+            err = ""
+            out = blob
+            if codec is not None:
+                try:
+                    out = decode_blob(blob, codec)
+                except Exception as e:
+                    err = f"{type(e).__name__}: {e}"
+                    out = blob
+            paths.append(path)
+            blobs.append(out)
+            codecs.append(codec or "")
+            errors.append(err)
+        return _pa.table({
+            "path": _pa.array(paths, type=_pa.string()),
+            blob_col: _pa.array(blobs, type=_pa.binary()),
+            "codec": _pa.array(codecs, type=_pa.string()),
+            "error": _pa.array(errors, type=_pa.string()),
+        })
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ------------------------------------------------ recursive DocumentTree
+
+def _unpack_compression(path: str, blob: bytes):
+    """Unpacker: compressed blob → one child (decoded bytes)."""
+    codec = sniff_compression(path, blob)
+    if codec is None:
+        return None
+    # strip the codec extension so the child re-sniffs on content
+    import os as _os
+    base, ext = _os.path.splitext(path)
+    child_path = base if ext.lower() in _COMPRESSION_EXT else path
+    return [(child_path, decode_blob(blob, codec))]
+
+
+def _unpack_jsonlines(path: str, blob: bytes):
+    """Unpacker: JSON-Lines blob → one child per JSON line (the
+    jsonlines explode, processor/jsonlines/jsonlines.go:45-78).
+    Applies only when every non-empty line is a JSON value."""
+    try:
+        text = blob.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    lines = [ln for ln in text.splitlines() if ln.strip()]
+    if len(lines) < 2:
+        return None
+    if not all(ln.lstrip()[:1] in "{[" for ln in lines):
+        return None
+    out = []
+    for i, ln in enumerate(lines):
+        try:
+            json.loads(ln)
+        except Exception:
+            return None  # not well-formed JSON-Lines: leave as leaf
+        out.append((f"{path}#L{i}", ln.encode("utf-8")))
+    return out
+
+
+# registry — user-extension surface, ordered (first applicable wins),
+# like the reference's documentType-keyed processor registry
+UNPACKERS = [("compression", _unpack_compression),
+             ("jsonlines", _unpack_jsonlines)]
+
+
+def unpack_tree(ds, blob_col: str = "bytes", max_depth: int = 8):
+    """Recursive DocumentTree unpack: re-apply the unpacker registry to
+    children until fixpoint (process/process.go:168-195 semantics) —
+    e.g. ``file.jsonl.bz2`` → decompress → explode lines → leaves.
+
+    The tree walk happens INSIDE the row's task (a document tree is
+    process-local in the reference too); a per-document visited set of
+    content hashes plus ``max_depth`` guard against cycles and
+    decompression bombs (the parser's visited-set idea,
+    ingestor/parser/parser.go:216-220).
+
+    Output rows: root_path, path (child provenance chain), depth,
+    doc:string (utf-8, errors=replace), error.
+    """
+    import hashlib
+
+    import pyarrow as _pa
+
+    def fn(batch: _pa.Table) -> _pa.Table:
+        roots, paths, depths, docs, errors = [], [], [], [], []
+        for root, blob in zip(batch["path"].to_pylist(),
+                              batch[blob_col].to_pylist()):
+            seen: set[str] = set()
+            stack = [(root, blob, 0)]
+            while stack:
+                path, b, depth = stack.pop()
+                digest = hashlib.blake2b(b, digest_size=16).hexdigest()
+                if digest in seen:
+                    continue
+                seen.add(digest)
+                err = ""
+                children = None
+                if depth < max_depth:
+                    for _, unpacker in UNPACKERS:
+                        try:
+                            children = unpacker(path, b)
+                        except Exception as e:
+                            err = f"{type(e).__name__}: {e}"
+                            children = None
+                            break
+                        if children is not None:
+                            break
+                if children:
+                    # reversed: stack pop order == document order
+                    for c in reversed(children):
+                        stack.append((c[0], c[1], depth + 1))
+                    continue
+                roots.append(root)
+                paths.append(path)
+                depths.append(depth)
+                docs.append(b.decode("utf-8", errors="replace"))
+                errors.append(err)
+        return _pa.table({
+            "root_path": _pa.array(roots, type=_pa.string()),
+            "path": _pa.array(paths, type=_pa.string()),
+            "depth": _pa.array(depths, type=_pa.int32()),
+            "doc": _pa.array(docs, type=_pa.string()),
+            "error": _pa.array(errors, type=_pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- DSSE envelopes
+
+def _pae(payload_type: str, payload: bytes) -> bytes:
+    """DSSE Pre-Authentication Encoding (the signed byte string) —
+    public DSSE v1 spec, as used by the reference's verifier
+    (/root/reference/pkg/ingestor/verifier/sigstore_verifier/
+    sigstore_verifier.go)."""
+    pt = payload_type.encode()
+    return b"DSSEv1 %d %s %d %s" % (len(pt), pt, len(payload), payload)
+
+
+def is_dsse(obj) -> bool:
+    return (isinstance(obj, dict) and "payload" in obj
+            and "payloadType" in obj and "signatures" in obj)
+
+
+def _unpack_dsse(path: str, blob: bytes):
+    """Unpacker: DSSE envelope → one child (the b64-decoded payload) —
+    processor/dsse/dsse.go unwrap semantics.  Signature CHECKING is the
+    separate ``verify_dsse`` step (unwrap never requires trust; gating
+    on verification is the ingestor's policy decision)."""
+    import base64
+    s = blob.lstrip()[:1]
+    if s != b"{":
+        return None
+    try:
+        obj = json.loads(blob)
+    except Exception:
+        return None
+    if not is_dsse(obj):
+        return None
+    try:
+        payload = base64.b64decode(obj["payload"], validate=True)
+    except Exception:
+        return None
+    return [(f"{path}#payload", payload)]
+
+
+def verify_dsse(envelope_bytes: bytes,
+                public_keys: dict[str, bytes]) -> dict:
+    """Verify a DSSE envelope's ed25519 signatures against a keyid →
+    raw-public-key map (the sigstore_verifier analog; ed25519 via the
+    `cryptography` package, gated by import-try).
+
+    Returns {payload: bytes, payload_type: str,
+             verified: [keyid...], failed: [keyid...]}.
+    """
+    import base64
+    try:
+        from cryptography.exceptions import InvalidSignature
+        from cryptography.hazmat.primitives.asymmetric.ed25519 import (
+            Ed25519PublicKey)
+    except ImportError as e:  # pragma: no cover - env without crypto
+        raise NotImplementedError(
+            "DSSE verification needs the 'cryptography' package") from e
+
+    obj = json.loads(envelope_bytes)
+    if not is_dsse(obj):
+        raise ValueError("not a DSSE envelope")
+    payload = base64.b64decode(obj["payload"])
+    pae = _pae(obj["payloadType"], payload)
+    verified, failed = [], []
+    for sig in obj["signatures"]:
+        keyid = sig.get("keyid", "")
+        raw = public_keys.get(keyid)
+        if raw is None:
+            failed.append(keyid)
+            continue
+        try:
+            Ed25519PublicKey.from_public_bytes(raw).verify(
+                base64.b64decode(sig["sig"]), pae)
+            verified.append(keyid)
+        except (InvalidSignature, Exception):
+            failed.append(keyid)
+    return {"payload": payload, "payload_type": obj["payloadType"],
+            "verified": verified, "failed": failed}
+
+
+def verify_dsse_stage(ds, public_keys: dict[str, bytes],
+                      blob_col: str = "bytes"):
+    """Actor-pool-free verification stage: envelope rows → (path,
+    payload, payload_type, verified:bool, keyids, error).  Key material
+    is tiny → captured in the task closure (object-store broadcast)."""
+    import pyarrow as _pa
+
+    def fn(batch: _pa.Table) -> _pa.Table:
+        paths, payloads, ptypes, oks, keyids, errors = ([], [], [], [],
+                                                        [], [])
+        for path, blob in zip(batch["path"].to_pylist(),
+                              batch[blob_col].to_pylist()):
+            try:
+                r = verify_dsse(blob, public_keys)
+                paths.append(path)
+                payloads.append(r["payload"])
+                ptypes.append(r["payload_type"])
+                oks.append(bool(r["verified"]))
+                keyids.append(",".join(r["verified"]))
+                errors.append("")
+            except Exception as e:
+                paths.append(path)
+                payloads.append(b"")
+                ptypes.append("")
+                oks.append(False)
+                keyids.append("")
+                errors.append(f"{type(e).__name__}: {e}")
+        return _pa.table({
+            "path": _pa.array(paths, type=_pa.string()),
+            "payload": _pa.array(payloads, type=_pa.binary()),
+            "payload_type": _pa.array(ptypes, type=_pa.string()),
+            "verified": _pa.array(oks, type=_pa.bool_()),
+            "keyids": _pa.array(keyids, type=_pa.string()),
+            "error": _pa.array(errors, type=_pa.string()),
+        })
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# register the DSSE unpacker between compression and jsonlines (a DSSE
+# envelope is a single JSON object; order = first-applicable-wins)
+UNPACKERS.insert(1, ("dsse", _unpack_dsse))

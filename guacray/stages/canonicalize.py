@@ -84,12 +84,20 @@ def add_ids_batch(batch: pa.Table) -> pa.Table:
     Edge identity covers the typed props string (when present), so
     prop-distinct statements stay distinct edges (assembler InputSpec
     identity, keyvalue/isDependency.go:46-56)."""
+    from ..functions.text import SYMMETRIC_PREDICATES
     subj_ids = [_node_id(k) for k in batch["subj_key"].to_pylist()]
     obj_ids = [_node_id(k) for k in batch["obj_key"].to_pylist()]
     preds = batch["predicate"].to_pylist()
     props = (batch["props"].to_pylist() if "props" in batch.column_names
              else [""] * batch.num_rows)
-    eids = [_edge_id(s, p, o, pr)
+    # undirected predicates hash in canonical (min id first) orientation
+    # so "A partnered with B" and "B partnered with A" get ONE edge_id
+    # (assembler.go:84 equal-edge semantics).  The triple row keeps
+    # statement order (provenance); the edges-table combiner
+    # (_edge_partial_batch) normalizes the stored orientation.
+    eids = [_edge_id(o, p, s, pr)
+            if p in SYMMETRIC_PREDICATES and o < s
+            else _edge_id(s, p, o, pr)
             for s, p, o, pr in zip(subj_ids, preds, obj_ids, props)]
     batch = batch.append_column("subj_id", pa.array(subj_ids, type=pa.string()))
     batch = batch.append_column("obj_id", pa.array(obj_ids, type=pa.string()))
@@ -127,13 +135,23 @@ def _node_merge_group(group: pa.Table) -> pa.Table:
 
 def _edge_partial_batch(batch: pa.Table, num_buckets: int) -> pa.Table:
     """Combiner: partial edge aggregate (count evidence, min first_seen)."""
+    from ..functions.text import SYMMETRIC_PREDICATES
     props = (batch["props"] if "props" in batch.column_names
              else pa.array([""] * batch.num_rows, type=pa.string()))
+    # store undirected edges in canonical (min id first) orientation —
+    # vectorized swap; MUST happen before the group_by, otherwise the
+    # per-column "min" could pair a subj from one orientation with an
+    # obj from the other
+    sym = pa.array(sorted(SYMMETRIC_PREDICATES))
+    swap = pc.and_(pc.is_in(batch["predicate"], value_set=sym),
+                   pc.less(batch["obj_id"], batch["subj_id"]))
+    s_col = pc.if_else(swap, batch["obj_id"], batch["subj_id"])
+    o_col = pc.if_else(swap, batch["subj_id"], batch["obj_id"])
     t = pa.table({
         "edge_id": batch["edge_id"],
-        "subj_id": batch["subj_id"],
+        "subj_id": s_col,
         "predicate": batch["predicate"],
-        "obj_id": batch["obj_id"],
+        "obj_id": o_col,
         "props": props,
         "warc_ts": batch["warc_ts"],
     })
@@ -147,6 +165,15 @@ def _edge_partial_batch(batch: pa.Table, num_buckets: int) -> pa.Table:
     agg = agg.set_column(agg.schema.get_field_index("n_evidence"),
                          "n_evidence", pc.cast(agg["n_evidence"], pa.int64()))
     return agg.append_column("bucket", _bucket_of(agg["edge_id"], num_buckets))
+
+
+def with_undirected(t: pa.Table) -> pa.Table:
+    """Append the ``undirected`` flag — a pure projection of the
+    predicate, so it never travels through the exchange."""
+    from ..functions.text import SYMMETRIC_PREDICATES
+    sym = pa.array(sorted(SYMMETRIC_PREDICATES))
+    return t.append_column("undirected", pc.is_in(t["predicate"],
+                                                  value_set=sym))
 
 
 def _edge_merge_group(group: pa.Table) -> pa.Table:
@@ -225,10 +252,11 @@ def graph_tables(linked_ds, num_buckets: int | None = None):
 
     def to_edges(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["kind"], pa.scalar(1, type=pa.int8())))
-        return pa.table({"edge_id": t["key"], "subj_id": t["a"],
-                         "predicate": t["b"], "obj_id": t["c"],
-                         "props": t["d"], "first_seen": t["ts"],
-                         "n_evidence": pc.cast(t["n"], pa.int64())})
+        return with_undirected(pa.table({
+            "edge_id": t["key"], "subj_id": t["a"],
+            "predicate": t["b"], "obj_id": t["c"],
+            "props": t["d"], "first_seen": t["ts"],
+            "n_evidence": pc.cast(t["n"], pa.int64())}))
 
     nodes = combined.map_batches(to_nodes, batch_format="pyarrow")
     edges = combined.map_batches(to_edges, batch_format="pyarrow")
@@ -256,7 +284,8 @@ def edges_table(linked_ds, num_buckets: int | None = None):
     partial = linked_ds.map_batches(
         lambda b: _edge_partial_batch(b, nb), batch_format="pyarrow",
         batch_size=None)
-    return _exchange(partial, _edge_merge_group, nb)
+    return _exchange(partial, _edge_merge_group, nb).map_batches(
+        with_undirected, batch_format="pyarrow")
 
 
 def _bucket_of_str(vals, num_buckets: int) -> pa.Array:

@@ -1,0 +1,108 @@
+"""Undirected (equal) edge semantics + class expansion + n-hop chain
+(assembler.go:84; retrieveDependencies.go:145-260;
+searchForSBOM.go:35-456)."""
+
+import datetime as dt
+import os
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from guacray import schemas
+from guacray.data.reference import reference_graph
+from guacray.functions.text import extract_text
+from guacray.pipelines.kg import kg_datasets, write_table
+from guacray.query.graph import GraphStore
+
+
+def _page(html, url):
+    b = html.encode()
+    return {"url": url,
+            "warc_ts": dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc),
+            "html": b, "text": extract_text(b), "lang": "en"}
+
+
+def _pages(rows):
+    schema = pa.schema([
+        ("url", pa.string()), ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("html", pa.binary()), ("text", pa.string()), ("lang", pa.string())])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+def _store(tmp_path, pages):
+    out = kg_datasets(rd.from_arrow(pages))
+    d = str(tmp_path / "g")
+    write_table(out["nodes"], os.path.join(d, "nodes"), schemas.NODES)
+    write_table(out["edges"], os.path.join(d, "edges"), schemas.EDGES)
+    return GraphStore(d), out
+
+
+def test_equal_edge_dedups_both_orientations(tmp_path):
+    pages = _pages([
+        _page("<p>Acme Corp partnered with Globex Corp.</p>", "https://x/1"),
+        _page("<p>Globex Corp partnered with Acme Corp.</p>", "https://x/2"),
+    ])
+    store, out = _store(tmp_path, pages)
+    edges = out["edges"].to_pandas()
+    pw = edges[edges["predicate"] == "partnered_with"]
+    assert len(pw) == 1                       # one edge, both orientations
+    assert int(pw["n_evidence"].iloc[0]) == 2
+    assert bool(pw["undirected"].iloc[0])
+    assert pw["subj_id"].iloc[0] < pw["obj_id"].iloc[0]  # canonical order
+
+    # reference oracle agrees exactly
+    _, ref_edges = reference_graph(pages)
+    ref_pw = [e for e in ref_edges if e["predicate"] == "partnered_with"]
+    assert len(ref_pw) == 1
+    assert ref_pw[0]["edge_id"] == pw["edge_id"].iloc[0]
+    assert ref_pw[0]["undirected"] is True
+
+    # neighbors reaches the edge from EITHER endpoint
+    for nid in (pw["subj_id"].iloc[0], pw["obj_id"].iloc[0]):
+        n = store.neighbors(nid, predicates=["partnered_with"]).to_pandas()
+        assert len(n) == 1
+
+
+def test_equivalence_class_and_expanded_neighbors(tmp_path):
+    pages = _pages([
+        _page("<p>Acme Corp partnered with Globex Corp. "
+              "Globex Corp partnered with Initech Corp. "
+              "Initech Corp released HyperWidget 2.0.</p>", "https://x/1"),
+    ])
+    store, out = _store(tmp_path, pages)
+    nodes = out["nodes"].to_pandas()
+    ids = dict(zip(nodes["name"], nodes["node_id"]))
+    acme = ids["Acme Corp"]
+    cls = store.equivalence_class(acme)
+    assert cls == {ids["Acme Corp"], ids["Globex Corp"], ids["Initech Corp"]}
+    # Acme's CLASS neighbors include Initech's released edge
+    exp = store.neighbors_of_class(acme).to_pandas()
+    assert set(exp["predicate"]) == {"released"}
+    assert len(exp) == 1
+
+
+def test_three_hop_chain_with_props_filter(tmp_path):
+    pages = _pages([
+        _page("<p>Ada Lovelace works at Acme Corp as engineer. "
+              "Acme Corp acquired Globex Corp. "
+              "Globex Corp released HyperWidget 2.0. "
+              "Globex Corp released HyperEngine.</p>", "https://x/1"),
+    ])
+    store, out = _store(tmp_path, pages)
+    nodes = out["nodes"].to_pandas()
+    ids = dict(zip(nodes["name"], nodes["node_id"]))
+
+    got = store.chain(["works_at", "acquired", "released"]).to_pandas()
+    assert len(got) == 2                       # both released targets
+    assert set(got["n0"]) == {ids["Ada Lovelace"]}
+    assert set(got["n1"]) == {ids["Acme Corp"]}
+    assert set(got["n2"]) == {ids["Globex Corp"]}
+
+    # per-hop props filter: only the VERSIONED release survives
+    flt = store.chain(["works_at", "acquired", "released"],
+                      props_filters=[None, None, ("version", None)]) \
+        .to_pandas()
+    assert len(flt) == 1
+    vers = nodes[nodes["qualifiers"] != ""]
+    assert flt["n3"].iloc[0] == vers["node_id"].iloc[0]
