@@ -52,6 +52,37 @@ def _kg_doc_summary(sf_dir: str):
     return document_summary(_kg(sf_dir, "triples"))
 
 
+_store_cache: dict[str, str] = {}
+
+
+def _kg_store(sf_dir: str):
+    """Materialized GraphStore over the fixture's kg tables (built once
+    per process — the read-side query surface needs tables on disk)."""
+    import os as _os
+
+    from guacray import schemas
+    from guacray.pipelines.kg import write_table
+    from guacray.query.graph import GraphStore
+    key = _pages_path(sf_dir)
+    if key not in _store_cache:
+        d = tempfile.mkdtemp(prefix="guacray_store_")
+        write_table(_kg(sf_dir, "edges"), _os.path.join(d, "edges"),
+                    schemas.EDGES)
+        write_table(_kg(sf_dir, "nodes"), _os.path.join(d, "nodes"),
+                    schemas.NODES)
+        _store_cache[key] = d
+    return GraphStore(_store_cache[key])
+
+
+def _kg_chain_3hop(sf_dir: str):
+    """3-hop analytic chain (person -works_at-> org -acquired-> org
+    -released-> product) with a per-hop typed-prop filter on the last
+    hop — the searchForSBOM sboms⋈deps⋈vulns shape (rows-only)."""
+    store = _kg_store(sf_dir)
+    return store.chain(["works_at", "acquired", "released"],
+                       props_filters=[None, None, ("version", None)])
+
+
 def _kg_edge_props(sf_dir: str):
     """Typed-edge-prop rollup: count canonical edges per (predicate,
     props) for prop-carrying edges (version on released, role on
@@ -132,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_identifiers": _kg_identifiers,
         "kg_document_summary": _kg_doc_summary,
         "kg_edge_props": _kg_edge_props,
+        "kg_chain_3hop": _kg_chain_3hop,
     }
     return q
 

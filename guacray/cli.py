@@ -68,16 +68,28 @@ def main(argv: list[str] | None = None) -> int:
             ("neighbors", ["node", "--predicate"]),
             ("path", ["src", "dst"]),
             ("topk", ["--predicate", "-k"]),
-            ("evidence", ["edge_id"])):
+            ("evidence", ["edge_id"]),
+            ("props", ["key", "--value", "--predicate"]),
+            ("chain", ["predicates"]),
+            ("class", ["node", "--predicate"])):
         sp = qs.add_parser(name)
         sp.add_argument("out_dir")
         for a in extra:
             if a == "--predicate":
                 sp.add_argument("--predicate", default=None)
+            elif a == "--value":
+                sp.add_argument("--value", default=None)
             elif a == "-k":
                 sp.add_argument("-k", type=int, default=10)
+            elif a == "predicates":
+                sp.add_argument("predicates",
+                                help="comma-separated hop predicates")
             else:
                 sp.add_argument(a)
+
+    u = sub.add_parser("unpack", help="recursive document-tree unpack of "
+                                      "raw files (compressed/DSSE/jsonl)")
+    u.add_argument("path", help="file or directory of raw blobs")
 
     args = p.parse_args(argv)
     _init_ray(args.num_cpus)
@@ -98,6 +110,12 @@ def main(argv: list[str] | None = None) -> int:
         else:
             counts = run_kg(files[0], out_dir)
         print(json.dumps(counts))
+        return 0
+
+    if args.cmd == "unpack":
+        from .sources.readers import read_binary_docs, unpack_tree
+        df = unpack_tree(read_binary_docs(args.path)).to_pandas()
+        print(df.to_json(orient="records", lines=True) or "")
         return 0
 
     if args.cmd == "enrich":
@@ -130,6 +148,19 @@ def main(argv: list[str] | None = None) -> int:
     elif args.qcmd == "evidence":
         df = store.evidence_for_edge(args.edge_id).to_pandas()
         print(df.to_json(orient="records", lines=True, date_format="iso") or "")
+    elif args.qcmd == "props":
+        preds = [args.predicate] if args.predicate else None
+        df = store.edges_with_prop(args.key, args.value,
+                                   predicates=preds).to_pandas()
+        print(df.to_json(orient="records", lines=True, date_format="iso") or "")
+    elif args.qcmd == "chain":
+        df = store.chain(args.predicates.split(",")).to_pandas()
+        print(df.to_json(orient="records", lines=True) or "")
+    elif args.qcmd == "class":
+        nid = _resolve_node(store, args.node)
+        cls = store.equivalence_class(
+            nid, predicate=args.predicate or "partnered_with")
+        print(json.dumps({"node": nid, "class": sorted(cls)}))
     return 0
 
 

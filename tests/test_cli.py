@@ -65,3 +65,30 @@ def test_cli_resumable_ingest(tmp_path, capsys):
     counts = json.loads(capsys.readouterr().out.strip())
     assert counts["edges"] > 0
     assert os.path.isdir(os.path.join(out, "triples", "_manifest"))
+
+
+def test_cli_props_chain_class(cli_graph, capsys):
+    assert main(["query", "props", cli_graph, "role",
+                 "--predicate", "works_at"]) == 0
+    rows = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows and all("role=" in r["props"] for r in rows)
+
+    assert main(["query", "chain", cli_graph, "works_at,released"]) == 0
+    rows = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows and set(rows[0]) == {"n0", "n1", "n2"}
+
+    assert main(["query", "class", cli_graph, "ent:org::acme-corp"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["node"] in out["class"] and len(out["class"]) >= 1
+
+
+def test_cli_unpack(tmp_path, capsys):
+    import bz2
+    (tmp_path / "d.jsonl.bz2").write_bytes(
+        bz2.compress(b'{"a": 1}\n{"a": 2}\n'))
+    assert main(["unpack", str(tmp_path)]) == 0
+    rows = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 2 and all(r["depth"] == 2 for r in rows)
