@@ -287,22 +287,46 @@ def semi_join(left, right, *, on: str, right_on: str | None = None,
         return semi_join_filter(left, vals, on, anti=anti)
     if num_partitions is None:
         num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    # big right side: broadcast a Bloom filter of the key set (~1.2 MB /
+    # million keys at 1% fp, vs the keys themselves) and pre-filter the
+    # left BEFORE the shuffle join.  No false negatives, so:
+    #   semi — Bloom-negative rows can never match: drop them up front,
+    #          then the exact join de-dups the ~1% false positives;
+    #   anti — Bloom-negative rows are DEFINITE keeps (skip the join);
+    #          only Bloom-positive rows need the exact anti join.
+    from .sketches import build_bloom
+    bloom = build_bloom(keys_ds, "__sj_key", capacity=n)
+    bloom_ref = ray.put(bloom.serialize())
+
+    def bloom_mask(t: pa.Table) -> pa.Array:
+        from .sketches import Bloom
+        b = Bloom.deserialize(ray.get(bloom_ref))
+        return pa.array(b.contains_array(
+            t[on].to_numpy(zero_copy_only=False)))
+
+    maybe = left.map_batches(
+        lambda t: t.filter(bloom_mask(t)), batch_format="pyarrow")
     if not anti:
-        joined = left.join(keys_ds, "inner", num_partitions=num_partitions,
-                           on=(on,), right_on=("__sj_key",))
+        joined = maybe.join(keys_ds, "inner", num_partitions=num_partitions,
+                            on=(on,), right_on=("__sj_key",))
         # Ray's join may or may not carry the right key column through
         return joined.map_batches(
             lambda t: t.drop_columns([c for c in ("__sj_key",)
                                       if c in t.column_names]),
             batch_format="pyarrow")
+    definite = left.map_batches(
+        lambda t: t.filter(pc.invert(bloom_mask(t))),
+        batch_format="pyarrow")
     marked = keys_ds.map_batches(
         lambda t: t.append_column("__sj_hit",
                                   pa.array([1] * t.num_rows, type=pa.int8())),
         batch_format="pyarrow")
-    joined = left.join(marked, "left_outer", num_partitions=num_partitions,
-                       on=(on,), right_on=("__sj_key",))
-    return joined.map_batches(
+    joined = maybe.join(marked, "left_outer", num_partitions=num_partitions,
+                        on=(on,), right_on=("__sj_key",))
+    survivors = joined.map_batches(
         lambda t: t.filter(pc.is_null(t["__sj_hit"]))
                    .drop_columns([c for c in ("__sj_key", "__sj_hit")
                                   if c in t.column_names]),
         batch_format="pyarrow")
+    return definite.union(survivors)

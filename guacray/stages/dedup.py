@@ -160,13 +160,22 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16,
             g = g.sort_values("doc_id")
             ids = g["doc_id"].to_numpy()
             sigs = np.stack(g["sig"].to_numpy())
-            # anchor pairing vs the min doc: linear not quadratic in
-            # cluster size (exact-dup clusters can be huge)
+            # anchor pairing vs the min doc PLUS adjacent-chain pairing:
+            # both linear (never O(n²) on exact-dup mega-buckets), and
+            # the chain recovers pairs where two near-dups each differ
+            # from the anchor but not from each other — connected
+            # components over the emitted pairs reconstruct clusters
             est = (sigs[0:1] == sigs[1:]).mean(axis=1)
             for i, e in enumerate(est, start=1):
                 if e >= threshold:
                     out_a.append(int(ids[0]))
                     out_b.append(int(ids[i]))
+                    out_j.append(float(e))
+            adj = (sigs[1:-1] == sigs[2:]).mean(axis=1)
+            for i, e in enumerate(adj, start=1):
+                if e >= threshold:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[i + 1]))
                     out_j.append(float(e))
         return pa.table({
             "doc_a": pa.array(out_a, type=pa.int64()),

@@ -239,3 +239,93 @@ def approx_quantiles(ds, col: str, qs: list[float], k: int = 200) -> list[float]
     for row in parts:
         acc = acc.merge(KLL.deserialize(row["sketch"]))
     return [acc.quantile(q) for q in qs]
+
+
+# ---------------------------------------------------------- Bloom filter
+
+class Bloom:
+    """Vectorized Bloom filter (double hashing, no false negatives).
+
+    The broadcast pre-filter for big-big semi/anti joins: at 100 TB the
+    right side's distinct keys don't fit a broadcast array, but ~1.2 MB
+    of Bloom bits per million keys (1% fp) does — rows that are
+    definitely-not-members skip the exact hash join entirely.  Built
+    per block inside ``map_batches`` and OR-merged (bits only) like the
+    HLL sketch.
+    """
+
+    _KEY2 = "guacbloomsecond!"  # 16-char alt key for the second hash
+
+    def __init__(self, m_bits: int, k: int, bits: np.ndarray | None = None):
+        self.m = int(m_bits)
+        self.k = int(k)
+        self.bits = (bits if bits is not None
+                     else np.zeros((self.m + 7) // 8, dtype=np.uint8))
+
+    @classmethod
+    def for_capacity(cls, n: int, fp_rate: float = 0.01) -> "Bloom":
+        n = max(1, n)
+        m = int(np.ceil(-n * np.log(fp_rate) / (np.log(2) ** 2)))
+        k = max(1, round(m / n * np.log(2)))
+        return cls(m, k)
+
+    def _hashes(self, values) -> tuple[np.ndarray, np.ndarray]:
+        import pandas as pd
+        arr = np.asarray(values)
+        h1 = pd.util.hash_array(arr)
+        h2 = pd.util.hash_array(arr, hash_key=self._KEY2) | np.uint64(1)
+        return h1, h2
+
+    def add_array(self, values) -> None:
+        if len(values) == 0:
+            return
+        h1, h2 = self._hashes(values)
+        for i in range(self.k):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(self.m)
+            np.bitwise_or.at(self.bits, (idx >> np.uint64(3)).astype(np.int64),
+                             (1 << (idx & np.uint64(7))).astype(np.uint8))
+
+    def contains_array(self, values) -> np.ndarray:
+        if len(values) == 0:
+            return np.zeros(0, dtype=bool)
+        h1, h2 = self._hashes(values)
+        out = np.ones(len(h1), dtype=bool)
+        for i in range(self.k):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(self.m)
+            byte = self.bits[(idx >> np.uint64(3)).astype(np.int64)]
+            out &= (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
+        return out
+
+    def merge(self, other: "Bloom") -> "Bloom":
+        assert self.m == other.m and self.k == other.k
+        return Bloom(self.m, self.k, np.bitwise_or(self.bits, other.bits))
+
+    def serialize(self) -> bytes:
+        import struct
+        return struct.pack("<qq", self.m, self.k) + self.bits.tobytes()
+
+    @classmethod
+    def deserialize(cls, b: bytes) -> "Bloom":
+        import struct
+        m, k = struct.unpack("<qq", b[:16])
+        return cls(m, k, np.frombuffer(b[16:], dtype=np.uint8).copy())
+
+
+def build_bloom(ds, col: str, capacity: int, fp_rate: float = 0.01) -> Bloom:
+    """Distributed Bloom build: one filter per block (same (m,k) from
+    the shared capacity), OR-merged on the driver — bits only, never
+    the keys."""
+    proto = Bloom.for_capacity(capacity, fp_rate)
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        b = Bloom(proto.m, proto.k)
+        b.add_array(batch[col].to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([b.serialize()],
+                                            type=pa.binary())})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow",
+                           batch_size=None).take_all()
+    acc = Bloom(proto.m, proto.k)
+    for row in parts:
+        acc = acc.merge(Bloom.deserialize(row["sketch"]))
+    return acc

@@ -322,3 +322,34 @@ def test_approx_quantiles_dataset():
     for e, q in zip(est, (0.5, 0.9)):
         rank = np.searchsorted(sv, e) / len(sv)
         assert abs(rank - q) < 0.03
+
+
+def test_minhash_chain_pairs_within_cluster():
+    """Adjacent-chain pairing emits non-anchor pairs inside a near-dup
+    cluster (anchor-only pairing would link 1 and 2 only through 0)."""
+    near2 = NEAR.replace("brown fox", "brown wolf")  # near-dup of NEAR
+    ds = _docs([BASE, NEAR, near2])
+    pairs = minhash_lsh_pairs(ds, threshold=0.4).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 1) in got
+    assert (1, 2) in got          # the non-anchor pair
+
+
+def test_bloom_no_false_negatives_and_fp_bound():
+    from guacray.stages.sketches import Bloom
+    rng = np.random.RandomState(11)
+    members = rng.choice(10_000_000, size=50_000, replace=False)
+    b = Bloom.for_capacity(len(members), fp_rate=0.01)
+    b.add_array(members)
+    assert b.contains_array(members).all()          # zero false negatives
+    others = np.setdiff1d(rng.choice(10_000_000, size=60_000,
+                                     replace=False), members)[:50_000]
+    fp = b.contains_array(others).mean()
+    assert fp < 0.03                                # ~1% design point
+    # string keys + merge + roundtrip
+    b1, b2 = Bloom.for_capacity(100), Bloom.for_capacity(100)
+    b1.add_array(np.array(["alpha", "beta"], dtype=object))
+    b2.add_array(np.array(["gamma"], dtype=object))
+    m = Bloom.deserialize(b1.merge(b2).serialize())
+    assert m.contains_array(np.array(["alpha", "gamma"],
+                                     dtype=object)).all()
