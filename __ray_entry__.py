@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": R.doc_sample,
         "doc_stratified_sample": R.doc_stratified_sample,
         "media_features": R.media_features,
+        "media_frames": R.media_frames,
         "embedding_near_dup_pairs": R.embedding_near_dup_pairs,
         "doc_curation_report": R.doc_curation_report,
         # near-dup sketches (rows-only; correctness in pytest)

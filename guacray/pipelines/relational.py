@@ -627,6 +627,29 @@ def media_features(sf_dir: str, n: int = 128):
     return feats.map_batches(summarize, batch_format="pyarrow")
 
 
+def media_frames(sf_dir: str, n: int = 128):
+    """Multimodal frame-sampling query: fake media table → resize
+    (images) → frame-sample (videos) actor stages; frames summarized to
+    scalars (rows-only; kernels are the documented honest stubs)."""
+    import hashlib
+
+    from ..stages.multimodal import (resize_images, sample_frames,
+                                     synth_media_table)
+    media = rd.from_arrow(synth_media_table(n))
+    frames = sample_frames(resize_images(media, target=(64, 64)))
+
+    def summarize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": t["media_id"],
+            "frame_no": t["frame_no"],
+            "ts_ms": t["ts_ms"],
+            "frame_sha256": pa.array(
+                [hashlib.sha256(f).hexdigest() for f in
+                 t["frame"].to_pylist()], type=pa.string()),
+        })
+    return frames.map_batches(summarize, batch_format="pyarrow")
+
+
 def embedding_near_dup_pairs(sf_dir: str):
     """The driver's embeddings are uniform-random vectors, so true
     near-dups (cos ≥ 0.9) don't exist by construction — the query runs

@@ -353,3 +353,41 @@ def test_bloom_no_false_negatives_and_fp_bound():
     m = Bloom.deserialize(b1.merge(b2).serialize())
     assert m.contains_array(np.array(["alpha", "gamma"],
                                      dtype=object)).all()
+
+
+def test_multimodal_resize_and_frame_sample():
+    """Resize + frame-sample plumbing: schemas, pass-through rules,
+    determinism, and the 1:N video explode (fake kernels; 'real'
+    raises at actor construction by contract)."""
+    import pytest as _pytest
+    from guacray.stages.multimodal import (FrameSampler, MediaResizer,
+                                           resize_images, sample_frames,
+                                           synth_media_table)
+    media = rd.from_arrow(synth_media_table(60))
+    resized = resize_images(media, target=(32, 32)).to_pandas()
+    assert len(resized) == 60
+    img = resized[resized["kind"] == "image"]
+    assert (img["width"] == 32).all() and (img["height"] == 32).all()
+    assert all(len(p) == 32 * 32 * 3 for p in img["payload"])
+    aud = resized[resized["kind"] == "audio"]
+    assert (aud["width"] == -1).all()            # pass-through
+
+    frames = sample_frames(rd.from_arrow(synth_media_table(60)),
+                           n_frames=3).to_pandas()
+    n_videos = (synth_media_table(60)["kind"].to_pandas() == "video").sum()
+    assert len(frames) == 3 * n_videos           # exact 1:N explode
+    assert set(frames["frame_no"]) == {0, 1, 2}
+    # timestamps inside the clip, monotone per video
+    g = frames.sort_values(["media_id", "frame_no"]).groupby("media_id")
+    assert (g["ts_ms"].apply(lambda s: s.is_monotonic_increasing)).all()
+    # determinism
+    frames2 = sample_frames(rd.from_arrow(synth_media_table(60)),
+                            n_frames=3).to_pandas()
+    a = frames.sort_values(["media_id", "frame_no"]).reset_index(drop=True)
+    b = frames2.sort_values(["media_id", "frame_no"]).reset_index(drop=True)
+    assert (a["frame"] == b["frame"]).all()
+    # the real-kernel slots stay honest
+    with _pytest.raises(NotImplementedError):
+        MediaResizer(decoder="real")
+    with _pytest.raises(NotImplementedError):
+        FrameSampler(decoder="real")
