@@ -4,8 +4,8 @@ The showpiece composition of the training-data operators — the shape a
 100 TB pretraining-data run takes:
 
     read(documents)
-      → language-ID (actor pool)                 # keep lang_pred == lang-allowlist
-      → quality scoring (vectorized)             # keep quality ≥ min_quality
+      → language-ID + quality scoring            # ONE fused pass (both
+        (worker-cached classifier, vectorized)   #  row-local scores)
       → exact dedup (two-phase exchange)         # canonical copy per text
       → near-dup removal (MinHash-LSH)           # drop the non-canonical of each pair
       → seeded sample                            # downsample to budget
@@ -29,7 +29,7 @@ import ray.data as rd
 
 from ..stages.agg import semi_join
 from ..stages.dedup import exact_dedup, minhash_lsh_pairs
-from ..stages.quality import lang_id, quality_scores
+from ..stages.quality import quality_scores_batch
 
 
 def curate(sf_dir: str, *, allow_langs=("en", "es", "de", "fr"),
@@ -45,19 +45,30 @@ def curate(sf_dir: str, *, allow_langs=("en", "es", "de", "fr"),
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text", "lang"])
 
-    # 1. language gate on the PREDICTED language (the provided lang
-    # column is metadata; curation trusts the classifier)
+    # 1+2. language gate (on the PREDICTED language — the provided lang
+    # column is metadata; curation trusts the classifier) fused with the
+    # quality gate into ONE pass over docs: both are row-local scores,
+    # so separate executions would only pay a second full scan.  LangID
+    # is worker-cached (the MinHasher pattern) — its profiles are tiny,
+    # and for short composed jobs actor-pool ramp costs more than it
+    # amortizes.
     allow = pa.array(sorted(allow_langs))
-    keep_lang = lang_id(docs).map_batches(
-        lambda t: t.filter(pc.is_in(t["lang_pred"], value_set=allow))
-                   .select(["doc_id"]),
-        batch_format="pyarrow")
+    _lid_cache: dict = {}
 
-    # 2. quality gate
-    keep_q = quality_scores(docs).map_batches(
-        lambda t: t.filter(pc.greater_equal(
-            t["quality"], pa.scalar(min_quality))).select(["doc_id"]),
-        batch_format="pyarrow")
+    def lang_q_gate(t: pa.Table) -> pa.Table:
+        from ..stages.quality import LangID
+        lid = _lid_cache.get("lid")
+        if lid is None:
+            lid = _lid_cache["lid"] = LangID()
+        scored = lid(t)
+        keep = pc.is_in(scored["lang_pred"], value_set=allow)
+        t = t.append_column("__q", quality_scores_batch(t)["quality"])
+
+        keep = pc.and_(keep, pc.greater_equal(
+            t["__q"], pa.scalar(min_quality)))
+        return t.filter(keep).select(["doc_id"])
+
+    keep_lang_q = docs.map_batches(lang_q_gate, batch_format="pyarrow")
 
     # 3. exact dedup: canonical (min doc_id) copy per distinct text
     canon = exact_dedup(docs).select_columns(["doc_id"])
@@ -66,8 +77,7 @@ def curate(sf_dir: str, *, allow_langs=("en", "es", "de", "fr"),
     dropped = minhash_lsh_pairs(docs, threshold=near_dup_threshold) \
         .select_columns(["doc_b"])
 
-    out = semi_join(docs, keep_lang, on="doc_id")
-    out = semi_join(out, keep_q, on="doc_id")
+    out = semi_join(docs, keep_lang_q, on="doc_id")
     out = semi_join(out, canon, on="doc_id")
     out = semi_join(out, dropped, on="doc_id", right_on="doc_b", anti=True)
     if sample_fraction is not None:

@@ -56,27 +56,32 @@ def quality_scores(ds):
       quality      = round(least(n_words,100)/100.0 * 0.7
                            + alpha_ratio * 0.3, 4)
     """
-    nonalpha = re.compile(r"[^a-z]")
+    return ds.map_batches(quality_scores_batch, batch_format="pyarrow")
 
-    def fn(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        n_chars = [len(t) for t in texts]
-        n_words = [len(t.split(" ")) for t in texts]
-        alpha = [round_half_away(len(nonalpha.sub("", t)) / max(c, 1), 4)
-                 for t, c in zip(texts, n_chars)]
-        mwl = [round_half_away((c - w + 1) / w, 4)
-               for c, w in zip(n_chars, n_words)]
-        q = [round_half_away(min(w, 100) / 100.0 * 0.7 + a * 0.3, 4)
-             for w, a in zip(n_words, alpha)]
-        return pa.table({
-            "doc_id": batch["doc_id"],
-            "n_chars_txt": pa.array(n_chars, type=pa.int64()),
-            "n_words": pa.array(n_words, type=pa.int64()),
-            "alpha_ratio": pa.array(alpha, type=pa.float64()),
-            "mean_word_len": pa.array(mwl, type=pa.float64()),
-            "quality": pa.array(q, type=pa.float64()),
-        })
-    return ds.map_batches(fn, batch_format="pyarrow")
+
+_NONALPHA_RE = re.compile(r"[^a-z]")
+
+
+def quality_scores_batch(batch: pa.Table) -> pa.Table:
+    """Pure batch form of ``quality_scores`` — composable into fused
+    passes (e.g. the curation gate computes lang + quality in one scan)."""
+    texts = batch["text"].to_pylist()
+    n_chars = [len(t) for t in texts]
+    n_words = [len(t.split(" ")) for t in texts]
+    alpha = [round_half_away(len(_NONALPHA_RE.sub("", t)) / max(c, 1), 4)
+             for t, c in zip(texts, n_chars)]
+    mwl = [round_half_away((c - w + 1) / w, 4)
+           for c, w in zip(n_chars, n_words)]
+    q = [round_half_away(min(w, 100) / 100.0 * 0.7 + a * 0.3, 4)
+         for w, a in zip(n_words, alpha)]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_chars_txt": pa.array(n_chars, type=pa.int64()),
+        "n_words": pa.array(n_words, type=pa.int64()),
+        "alpha_ratio": pa.array(alpha, type=pa.float64()),
+        "mean_word_len": pa.array(mwl, type=pa.float64()),
+        "quality": pa.array(q, type=pa.float64()),
+    })
 
 
 # ------------------------------------------------------- fingerprints
