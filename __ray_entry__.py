@@ -128,6 +128,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_us": R.events_gap_us,
         "events_sliding_avg": R.events_sliding_avg,
         "events_asof_order": R.events_asof_order,
+        "events_running_total": R.events_running_total,
+        "events_first_type": R.events_first_type,
+        "orders_status_pivot": R.orders_status_pivot,
+        "region_nation_list": R.region_nation_list,
         "events_distinct_users": R.events_distinct_users,
         "lineitem_quantiles": R.lineitem_quantiles,
         "lineitem_quantiles_kll": R.lineitem_quantiles_kll,

@@ -383,6 +383,96 @@ def events_sliding_avg(sf_dir: str, window_s: int = 3600,
     return ds.groupby("bucket").map_groups(roll, batch_format="pandas")
 
 
+def events_running_total(sf_dir: str, num_buckets: int | None = None):
+    """Cumulative window (ROWS UNBOUNDED PRECEDING): per-user running
+    total of `value` in (ts, event_id) order — the remaining classic
+    window frame next to lag/sliding/session/rank.  Same expression
+    pattern: hash-bucket by user, vectorized pandas cumsum per bucket."""
+    from ..stages.canonicalize import resolve_buckets_pow2
+    num_buckets = resolve_buckets_pow2(num_buckets)
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(
+        lambda t: t.append_column("bucket", pc.cast(
+            pc.bit_wise_and(t["user_id"], num_buckets - 1), pa.int32())),
+        batch_format="pyarrow")
+
+    def run_tot(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.rounding import round_half_away
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        cum = df.groupby("user_id", sort=False)["value"].cumsum()
+        df["running_total"] = [round_half_away(v, 2) for v in cum]
+        return df[["event_id", "user_id", "running_total"]]
+
+    return ds.groupby("bucket").map_groups(run_tot, batch_format="pandas")
+
+
+def events_first_type(sf_dir: str, num_buckets: int | None = None):
+    """first_value window: each user's first event_type in (ts,
+    event_id) order — one row per user."""
+    from ..stages.canonicalize import resolve_buckets_pow2
+    num_buckets = resolve_buckets_pow2(num_buckets)
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    ds = ds.map_batches(
+        lambda t: t.append_column("bucket", pc.cast(
+            pc.bit_wise_and(t["user_id"], num_buckets - 1), pa.int32())),
+        batch_format="pyarrow")
+
+    def first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        out = df.groupby("user_id", sort=False).head(1)
+        return out[["user_id", "event_type"]].rename(
+            columns={"event_type": "first_type"})
+
+    return ds.groupby("bucket").map_groups(first, batch_format="pandas")
+
+
+def orders_status_pivot(sf_dir: str):
+    """Conditional (FILTER) aggregation / pivot: per-priority order
+    counts split by status — indicator columns inside the combiner, so
+    the exchange stays one two-phase grouped sum."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderpriority", "o_orderstatus"])
+
+    def indicators(t: pa.Table) -> pa.Table:
+        out = {"o_orderpriority": t["o_orderpriority"]}
+        for status in ("F", "O", "P"):
+            out[f"n_{status.lower()}"] = pc.cast(
+                pc.equal(t["o_orderstatus"], pa.scalar(status)),
+                pa.int64())
+        return pa.table(out)
+
+    ds = ds.map_batches(indicators, batch_format="pyarrow")
+    return grouped_agg(ds, ["o_orderpriority"], [
+        ("n_f", "sum", "n_f"), ("n_o", "sum", "n_o"),
+        ("n_p", "sum", "n_p")])
+
+
+def region_nation_list(sf_dir: str):
+    """Ordered string aggregation (collect_list → join): nation names
+    per region, comma-joined in name order — deterministic under any
+    block layout because the merge sorts before joining."""
+    nat = rd.read_parquet(_t(sf_dir, "nation"),
+                          columns=["n_name", "n_regionkey"])
+    reg = pd.read_parquet(_t(sf_dir, "region"),
+                          columns=["r_regionkey", "r_name"])
+    reg_ref = ray.put(reg)
+
+    def merge_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(ray.get(reg_ref),
+                           left_on="n_regionkey", right_on="r_regionkey")
+    joined = nat.map_batches(merge_fn, batch_format="pandas")
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("r_name")["n_name"]
+                  .apply(lambda s: ",".join(sorted(s)))
+                  .reset_index().rename(columns={"n_name": "nations"}))
+
+    return joined.groupby("r_name").map_groups(agg, batch_format="pandas")
+
+
 def lineitem_quantiles(sf_dir: str):
     """Holistic aggregate via an exact MERGEABLE histogram: per-flag
     median/p90 quantity.
@@ -802,6 +892,31 @@ SQL: dict[str, str] = {
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                            AND CURRENT ROW), 4) AS avg_1h
         FROM events
+    """,
+    "events_running_total": """
+        SELECT event_id, user_id,
+               round(sum(value) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING), 2) AS running_total
+        FROM events
+    """,
+    "events_first_type": """
+        SELECT DISTINCT user_id,
+               first_value(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS first_type
+        FROM events
+    """,
+    "orders_status_pivot": """
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "region_nation_list": """
+        SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
     """,
     "lineitem_quantiles": """
         SELECT l_returnflag,
