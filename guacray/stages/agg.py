@@ -295,6 +295,11 @@ def semi_join(left, right, *, on: str, right_on: str | None = None,
     #          then the exact join de-dups the ~1% false positives;
     #   anti — Bloom-negative rows are DEFINITE keeps (skip the join);
     #          only Bloom-positive rows need the exact anti join.
+    # The anti path consumes `left` twice (definite + maybe streams);
+    # each consumer re-executes left's lineage rather than pinning
+    # O(left) in the object store — for the typical scan+filter left a
+    # re-read is far cheaper.  Callers with an expensive left lineage
+    # should materialize/checkpoint it first.
     from .sketches import build_bloom
     bloom = build_bloom(keys_ds, "__sj_key", capacity=n)
     bloom_ref = ray.put(bloom.serialize())

@@ -311,10 +311,16 @@ class Bloom:
         return cls(m, k, np.frombuffer(b[16:], dtype=np.uint8).copy())
 
 
-def build_bloom(ds, col: str, capacity: int, fp_rate: float = 0.01) -> Bloom:
+def build_bloom(ds, col: str, capacity: int, fp_rate: float = 0.01,
+                fan_in: int = 8) -> Bloom:
     """Distributed Bloom build: one filter per block (same (m,k) from
-    the shared capacity), OR-merged on the driver — bits only, never
-    the keys."""
+    the shared capacity), OR-merged — bits only, never the keys.
+
+    Unlike the 4 KB HLL, a big-capacity Bloom is megabytes, so
+    driver-collecting one sketch PER BLOCK would be blocks × m bits at
+    100 TB.  A tree-reduce level first ORs the per-block sketches down
+    to ``fan_in`` partials inside the cluster; only those reach the
+    driver."""
     proto = Bloom.for_capacity(capacity, fp_rate)
 
     def sketch(batch: pa.Table) -> pa.Table:
@@ -323,8 +329,18 @@ def build_bloom(ds, col: str, capacity: int, fp_rate: float = 0.01) -> Bloom:
         return pa.table({"sketch": pa.array([b.serialize()],
                                             type=pa.binary())})
 
+    def combine(batch: pa.Table) -> pa.Table:
+        acc = Bloom(proto.m, proto.k)
+        for s in batch["sketch"].to_pylist():
+            acc = acc.merge(Bloom.deserialize(s))
+        return pa.table({"sketch": pa.array([acc.serialize()],
+                                            type=pa.binary())})
+
     parts = ds.map_batches(sketch, batch_format="pyarrow",
-                           batch_size=None).take_all()
+                           batch_size=None) \
+        .repartition(fan_in) \
+        .map_batches(combine, batch_format="pyarrow", batch_size=None) \
+        .take_all()
     acc = Bloom(proto.m, proto.k)
     for row in parts:
         acc = acc.merge(Bloom.deserialize(row["sketch"]))
