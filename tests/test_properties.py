@@ -70,3 +70,14 @@ def test_round_matches_duckdb(x, dp):
     got = round_half_away(x, dp)
     exp = duckdb.sql(f"SELECT round({x!r}::DOUBLE, {dp})").fetchone()[0]
     assert got == exp or abs(got - exp) < 1e-12, (x, dp, got, exp)
+
+
+@given(st.dictionaries(st.text(min_size=1, max_size=8),
+                       st.text(max_size=12), max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_props_string_roundtrip(d):
+    from guacray.functions.text import parse_props, props_string
+    s = props_string(d)
+    assert parse_props(s) == d
+    # canonical: deterministic under key order
+    assert s == props_string(dict(reversed(list(d.items()))))
