@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_counts": R.embedding_label_counts,
         "embedding_centroids": R.embedding_centroids,
         "ann_lsh_topk": R.ann_lsh_topk,
+        "ann_ivf_topk": R.ann_ivf_topk,
         "doc_sample": R.doc_sample,
         "doc_stratified_sample": R.doc_stratified_sample,
         "media_features": R.media_features,

@@ -647,6 +647,17 @@ def ann_lsh_topk(sf_dir: str, k: int = 50):
     return lsh_topk(ds, q, k=k)
 
 
+def ann_ivf_topk(sf_dir: str, k: int = 50):
+    """IVF probed approximate top-k (rows-only; recall vs brute force
+    is pytest-gated — test_ivf_topk_recall_vs_brute)."""
+    from ..stages.ann import ivf_topk, ivf_train
+    q = make_query_vector(64)
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    cents = ivf_train(ds, n_centroids=16)
+    return ivf_topk(ds, q, cents, k=k, nprobe=6)
+
+
 def embedding_centroids(sf_dir: str):
     from ..stages.ann import label_centroids
     ds = rd.read_parquet(_t(sf_dir, "embeddings"),

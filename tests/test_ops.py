@@ -391,3 +391,29 @@ def test_multimodal_resize_and_frame_sample():
         MediaResizer(decoder="real")
     with _pytest.raises(NotImplementedError):
         FrameSampler(decoder="real")
+
+
+def test_ivf_topk_recall_vs_brute():
+    """IVF probed search: values always agree with brute-force sims;
+    recall grows with nprobe and is total at nprobe == n_centroids."""
+    from guacray.stages.ann import ivf_topk, ivf_train
+    sf = "/root/testdata/sf0.001"
+    q = make_query_vector(64)
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cents = ivf_train(ds, n_centroids=8)
+    assert cents.shape[1] == 64
+    brute = brute_force_topk(ds, q, k=20).to_pandas()
+    sims = dict(zip(brute["vec_id"], brute["cos_sim"]))
+
+    got = ivf_topk(ds, q, cents, k=20, nprobe=4).to_pandas()
+    assert len(got) > 0
+    for vid, cs in zip(got["vec_id"], got["cos_sim"]):
+        if vid in sims:
+            assert abs(sims[vid] - cs) < 1e-9
+    recall4 = len(set(got["vec_id"]) & set(brute["vec_id"])) / 20
+
+    full = ivf_topk(ds, q, cents, k=20, nprobe=8).to_pandas()
+    assert list(full["vec_id"]) == list(brute["vec_id"])  # total recall
+    recall8 = 1.0
+    assert recall8 >= recall4
