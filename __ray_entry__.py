@@ -83,6 +83,16 @@ def _kg_chain_3hop(sf_dir: str):
                        props_filters=[None, None, ("version", None)])
 
 
+def _kg_partner_components(sf_dir: str):
+    """Equivalence-class census: component sizes over the undirected
+    partnered_with predicate (distributed label propagation;
+    rows-only — verified against union-find in pytest)."""
+    from guacray.stages.agg import grouped_agg
+    comp = _kg_store(sf_dir).components("partnered_with")
+    return grouped_agg(comp, ["component"],
+                       [("node_id", "count", "n_members")])
+
+
 def _kg_edge_props(sf_dir: str):
     """Typed-edge-prop rollup: count canonical edges per (predicate,
     props) for prop-carrying edges (version on released, role on
@@ -170,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_document_summary": _kg_doc_summary,
         "kg_edge_props": _kg_edge_props,
         "kg_chain_3hop": _kg_chain_3hop,
+        "kg_partner_components": _kg_partner_components,
     }
     return q
 

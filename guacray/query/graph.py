@@ -356,6 +356,16 @@ class GraphStore:
         return self._read_edges(predicates=preds).map_batches(
             fn, batch_format="pyarrow")
 
+    def components(self, predicate: str = "partnered_with"):
+        """ALL equivalence classes at once: distributed min-label
+        propagation with pointer jumping over one undirected
+        predicate's edges (stages/components.py) — the scale path
+        where per-node ``equivalence_class`` BFS would iterate a
+        driver frontier per class.  Returns (node_id, component)."""
+        from ..stages.components import connected_components
+        return connected_components(self._read_edges(
+            predicates=[predicate]))
+
     def chain(self, predicates: list[str],
               props_filters: list[tuple[str, str | None] | None] | None = None):
         """n-hop distributed join chain:

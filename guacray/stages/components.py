@@ -1,0 +1,120 @@
+"""Distributed connected components via min-label propagation.
+
+The scale path for equivalence-class expansion (HashEqual/PkgEqual
+class walks, /root/reference/pkg/assembler/assembler.go:84;
+retrieveDependencies start-node expansion, guacrest/server/
+retrieveDependencies.go:145-260): ``GraphStore.equivalence_class`` BFS
+is fine for ONE node's class, but labeling EVERY node's component —
+e.g. to canonicalize all partnered_with clusters at once — must not
+iterate a driver-side frontier per class.
+
+Classic label propagation, all-distributed per iteration:
+
+  labels(v) ← min(labels(v), min over neighbors u of labels(u))
+
+Each iteration is two hash/broadcast joins (labels onto each edge
+endpoint), a union with the current labels, and one two-phase grouped
+min — converging in O(component diameter) iterations.  The driver sees
+only the per-iteration changed-count (a scalar).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .agg import agg_by_name, auto_join, grouped_agg
+
+
+def connected_components(edges_ds, *, subj_col: str = "subj_id",
+                         obj_col: str = "obj_id",
+                         max_iters: int = 50):
+    """edges Dataset → (node_id, component) Dataset, where component is
+    the lexicographic-min node id of the node's connected component
+    (edges treated as undirected).
+
+    Deterministic: content-hash node ids make the min-label a stable,
+    engine-independent component representative.
+    """
+    pairs = edges_ds.map_batches(
+        lambda t: pa.table({"a": t[subj_col], "b": t[obj_col]}),
+        batch_format="pyarrow").materialize()
+
+    # initial labels: every endpoint, label = own id (two-phase dedup)
+    def node_rows(t: pa.Table) -> pa.Table:
+        both = pa.concat_tables([pa.table({"node_id": t["a"]}),
+                                 pa.table({"node_id": t["b"]})])
+        return agg_by_name(both, ["node_id"], [])
+
+    labels = pairs.map_batches(node_rows, batch_format="pyarrow",
+                               batch_size=None)
+    labels = grouped_agg(
+        labels.map_batches(
+            lambda t: t.append_column("label", t["node_id"]),
+            batch_format="pyarrow"),
+        ["node_id"], [("label", "min", "label")]).materialize()
+
+    for _ in range(max_iters):
+        # labels onto each endpoint → per-edge candidate labels in both
+        # directions, then min per node including the current label
+        la = auto_join(pairs, labels.map_batches(
+            lambda t: pa.table({"__n": t["node_id"], "__la": t["label"]}),
+            batch_format="pyarrow"), on="a", right_on="__n")
+        lab = auto_join(la, labels.map_batches(
+            lambda t: pa.table({"__m": t["node_id"], "__lb": t["label"]}),
+            batch_format="pyarrow"), on="b", right_on="__m")
+
+        def candidates(t: pa.Table) -> pa.Table:
+            return pa.concat_tables([
+                pa.table({"node_id": t["a"], "label": t["__lb"]}),
+                pa.table({"node_id": t["b"], "label": t["__la"]}),
+            ])
+
+        cand = lab.map_batches(
+            lambda t: candidates(t.select(["a", "b", "__la", "__lb"])),
+            batch_format="pyarrow")
+        merged = grouped_agg(cand.union(labels), ["node_id"],
+                             [("label", "min", "label")]).materialize()
+
+        # pointer jumping (label(v) ← label(label(v))): shortcuts long
+        # chains so convergence is O(log diameter) rounds, not
+        # O(diameter) — the standard trick in distributed CC
+        hop = auto_join(
+            merged,
+            merged.map_batches(
+                lambda t: pa.table({"__ln": t["node_id"],
+                                    "__ll": t["label"]}),
+                batch_format="pyarrow"),
+            on="label", right_on="__ln")
+        merged = grouped_agg(
+            hop.map_batches(
+                lambda t: pa.table({"node_id": t["node_id"],
+                                    "label": pc.min_element_wise(
+                                        t["label"], t["__ll"])}),
+                batch_format="pyarrow"),
+            ["node_id"], [("label", "min", "label")]).materialize()
+
+        # convergence: any node whose label still shrinks?  (distributed
+        # join + filter; only the scalar count reaches the driver)
+        joined = auto_join(
+            merged.map_batches(
+                lambda t: pa.table({"node_id": t["node_id"],
+                                    "new_label": t["label"]}),
+                batch_format="pyarrow"),
+            labels.map_batches(
+                lambda t: pa.table({"__o": t["node_id"],
+                                    "old_label": t["label"]}),
+                batch_format="pyarrow"),
+            on="node_id", right_on="__o")
+        changed = joined.map_batches(
+            lambda t: t.filter(pc.not_equal(t["new_label"],
+                                            t["old_label"])),
+            batch_format="pyarrow").count()
+        labels = merged
+        if changed == 0:
+            break
+
+    return labels.map_batches(
+        lambda t: pa.table({"node_id": t["node_id"],
+                            "component": t["label"]}),
+        batch_format="pyarrow")

@@ -106,3 +106,66 @@ def test_three_hop_chain_with_props_filter(tmp_path):
     assert len(flt) == 1
     vers = nodes[nodes["qualifiers"] != ""]
     assert flt["n3"].iloc[0] == vers["node_id"].iloc[0]
+
+
+def test_connected_components_vs_union_find():
+    """Distributed label propagation == driver union-find on the same
+    edge set (random graph + chain + isolated pair)."""
+    import numpy as np
+
+    from guacray.stages.components import connected_components
+
+    rng = np.random.RandomState(7)
+    edges = [(f"n{a:03d}", f"n{b:03d}")
+             for a, b in rng.randint(0, 60, size=(80, 2)) if a != b]
+    edges += [(f"c{i:02d}", f"c{i+1:02d}") for i in range(20)]  # chain
+    edges += [("z1", "z2")]
+    ds = rd.from_items([{"subj_id": a, "obj_id": b} for a, b in edges])
+
+    got = connected_components(ds).to_pandas()
+    got_map = dict(zip(got["node_id"], got["component"]))
+
+    # reference: union-find
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {}
+    for n in parent:
+        exp.setdefault(find(n), []).append(n)
+    exp_map = {n: min(members) for root, members in exp.items()
+               for n in members}
+    assert got_map == exp_map
+
+
+def test_components_of_partnered_clusters(tmp_path):
+    """Component labels over the undirected predicate reproduce the
+    per-node equivalence_class BFS."""
+    pages = _pages([
+        _page("<p>Acme Corp partnered with Globex Corp. "
+              "Globex Corp partnered with Initech Corp. "
+              "Umbrella Corp partnered with Stark Corp.</p>", "https://x/1"),
+    ])
+    store, out = _store(tmp_path, pages)
+    from guacray.stages.components import connected_components
+    pw = out["edges"].to_pandas()
+    pw = pw[pw["predicate"] == "partnered_with"]
+    comp = connected_components(
+        rd.from_pandas(pw[["subj_id", "obj_id"]])).to_pandas()
+    cmap = dict(zip(comp["node_id"], comp["component"]))
+    nodes = out["nodes"].to_pandas()
+    ids = dict(zip(nodes["name"], nodes["node_id"]))
+    acme_cls = store.equivalence_class(ids["Acme Corp"])
+    assert {n for n, c in cmap.items()
+            if c == cmap[ids["Acme Corp"]]} == acme_cls
+    assert cmap[ids["Umbrella Corp"]] == cmap[ids["Stark Corp"]]
+    assert cmap[ids["Umbrella Corp"]] != cmap[ids["Acme Corp"]]
