@@ -26,6 +26,30 @@ import pyarrow.compute as pc
 from .agg import agg_by_name, auto_join, grouped_agg
 
 
+_FP_WIDTH = 64  # max label length the fingerprint encoding supports
+
+
+def _label_fingerprint(labels_ds) -> int:
+    """EXACT change detector without a join: sum over all labels of an
+    order-preserving big-int encoding (label bytes right-padded to a
+    fixed width).  Valid because propagation moves every label
+    monotonically downward in lexicographic order — every per-node
+    delta is ≤ 0 under an order-preserving encoding, so the total sum
+    strictly decreases iff ANY label changed; deltas cannot cancel.
+    Partial sums are arbitrary-precision, shipped as strings."""
+    def partial(t: pa.Table) -> pa.Table:
+        s = 0
+        for lb in t["label"].to_pylist():
+            b = lb.encode()
+            assert len(b) <= _FP_WIDTH, "label too long for fingerprint"
+            s += int.from_bytes(b.ljust(_FP_WIDTH, b"\x00"), "big")
+        return pa.table({"s": pa.array([str(s)], type=pa.string())})
+
+    parts = labels_ds.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=None).take_all()
+    return sum(int(r["s"]) for r in parts)
+
+
 def connected_components(edges_ds, *, subj_col: str = "subj_id",
                          obj_col: str = "obj_id",
                          max_iters: int = 50):
@@ -94,24 +118,14 @@ def connected_components(edges_ds, *, subj_col: str = "subj_id",
                 batch_format="pyarrow"),
             ["node_id"], [("label", "min", "label")]).materialize()
 
-        # convergence: any node whose label still shrinks?  (distributed
-        # join + filter; only the scalar count reaches the driver)
-        joined = auto_join(
-            merged.map_batches(
-                lambda t: pa.table({"node_id": t["node_id"],
-                                    "new_label": t["label"]}),
-                batch_format="pyarrow"),
-            labels.map_batches(
-                lambda t: pa.table({"__o": t["node_id"],
-                                    "old_label": t["label"]}),
-                batch_format="pyarrow"),
-            on="node_id", right_on="__o")
-        changed = joined.map_batches(
-            lambda t: t.filter(pc.not_equal(t["new_label"],
-                                            t["old_label"])),
-            batch_format="pyarrow").count()
+        # convergence: labels are monotonically non-increasing per node,
+        # so the SUM of per-label integer prefixes strictly decreases
+        # iff any label changed — an exact check from one cheap grouped
+        # sum over the (small, materialized) labels table, no join
+        fp = _label_fingerprint(merged)
+        prev = _label_fingerprint(labels)
         labels = merged
-        if changed == 0:
+        if fp == prev:
             break
 
     return labels.map_batches(
