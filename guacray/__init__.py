@@ -5,12 +5,14 @@ engine with the query/data-processing capabilities of guacsec/guac
 Layout:
   data/       deterministic synthetic pages generator (fixture input)
   functions/  pure scalar/vector functions: text extraction, keys, hashing
-  sources/    read-side helpers (pruned parquet reads, jsonlines explode)
+  sources/    collectors (pruned parquet, raw binary, compressed decode,
+              recursive document-tree unpack, DSSE verify)
   stages/     Ray Data stage builders (normalize, extract, link,
-              canonicalize, dedup, quality, ann, multimodal)
+              canonicalize, dedup, quality, ann, sketches, components,
+              multimodal, agg)
   pipelines/  wired end-to-end pipelines (kg flagship, relational queries)
   query/      read-side graph query module (neighbors, path, top-k)
   state/      partition manifest / lineage for resumable runs
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
