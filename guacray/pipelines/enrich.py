@@ -104,25 +104,20 @@ def _scan_state_path(out_dir: str) -> str:
 def nodes_needing_scan(out_dir: str, *, node_type: str,
                        rescan_after_s: float, now: float):
     """The ``findPackagesThatNeedScanning`` analog: typed nodes whose
-    last scan is older than the horizon (or never scanned).  Scan state
-    is broadcast (it is node-count sized but narrow; a Bloom filter at
-    extreme scale)."""
+    last scan is older than the horizon (or never scanned) — a
+    distributed anti join against the fresh slice of the scan state
+    (size-aware: broadcast array below threshold, Bloom + hash join
+    above; the state table never reaches the driver)."""
+    from ..stages.agg import semi_join
     nodes = rd.read_parquet(os.path.join(out_dir, "nodes"),
                             filter=pc.field("node_type") == node_type)
     state = _scan_state_path(out_dir)
-    fresh: set[str] = set()
-    if os.path.isdir(state):
-        st = rd.read_parquet(state).to_pandas()
-        cutoff = now - rescan_after_s
-        fresh = set(st[st["last_scan_unix"] >= cutoff]["node_id"])
-    if not fresh:
+    if not os.path.isdir(state):
         return nodes
-    ref = ray.put(pa.array(sorted(fresh)))
-
-    def fn(t: pa.Table) -> pa.Table:
-        return t.filter(pc.invert(pc.is_in(t["node_id"],
-                                           value_set=ray.get(ref))))
-    return nodes.map_batches(fn, batch_format="pyarrow")
+    cutoff = now - rescan_after_s
+    fresh = rd.read_parquet(state,
+                            filter=pc.field("last_scan_unix") >= cutoff)
+    return semi_join(nodes, fresh, on="node_id", anti=True)
 
 
 def run_enrichment(out_dir: str, *, node_type: str = "org",
@@ -137,11 +132,13 @@ def run_enrichment(out_dir: str, *, node_type: str = "org",
     now = time.time() if now is None else now
     todo = nodes_needing_scan(out_dir, node_type=node_type,
                               rescan_after_s=rescan_after_s, now=now)
-    # collect the scan list NOW: the merge below atomically replaces the
-    # nodes dir, invalidating this lazy read's resolved file paths
-    scanned = todo.select_columns(["node_id"]).to_pandas()
+    # pin the scan list NOW: the merge below atomically replaces the
+    # nodes dir, invalidating lazy reads' resolved file paths —
+    # materialize pins blocks, not paths; ids stay a Dataset (never
+    # collected to the driver)
     todo = todo.materialize()
-    n_todo = len(scanned)
+    scanned_ds = todo.select_columns(["node_id"]).materialize()
+    n_todo = scanned_ds.count()
     if n_todo == 0:
         return {"scanned": 0,
                 "edges_total": _dir_num_rows(os.path.join(out_dir, "edges"))}
@@ -154,6 +151,7 @@ def run_enrichment(out_dir: str, *, node_type: str = "org",
     # first_seen = null — enrichment is not event-timed)
     def to_edges(t: pa.Table) -> pa.Table:
         from ..functions.keys import edge_id as _edge_id
+        from ..functions.text import SYMMETRIC_PREDICATES
         eids = [_edge_id(s, p, o) for s, p, o in
                 zip(t["subj_id"].to_pylist(), t["predicate"].to_pylist(),
                     t["obj_id"].to_pylist())]
@@ -161,16 +159,24 @@ def run_enrichment(out_dir: str, *, node_type: str = "org",
             "edge_id": pa.array(eids, type=pa.string()),
             "subj_id": t["subj_id"], "predicate": t["predicate"],
             "obj_id": t["obj_id"],
+            "props": pa.array([""] * t.num_rows, type=pa.string()),
             "first_seen": pa.nulls(t.num_rows, type=schemas.TS),
             "n_evidence": pa.array([0] * t.num_rows, type=pa.int64()),
+            "undirected": pa.array(
+                [p in SYMMETRIC_PREDICATES
+                 for p in t["predicate"].to_pylist()], type=pa.bool_()),
         })
 
     def to_nodes(t: pa.Table) -> pa.Table:
+        from ..functions.keys import node_qualifiers
         return pa.table({
             "node_id": t["obj_id"], "node_key": t["obj_key"],
             "node_type": pa.array(["category"] * t.num_rows,
                                   type=pa.string()),
             "name": t["obj_name"],
+            "qualifiers": pa.array(
+                [node_qualifiers(k) for k in t["obj_key"].to_pylist()],
+                type=pa.string()),
         })
 
     new_edges = enriched.map_batches(to_edges, batch_format="pyarrow")
@@ -208,16 +214,26 @@ def run_enrichment(out_dir: str, *, node_type: str = "org",
             .map_groups(dedup, batch_format="pyarrow")
         write_table(merged, os.path.join(out_dir, name), schema)
 
-    # commit scan state (atomic via write_table)
-    scanned["last_scan_unix"] = now
+    # commit scan state (atomic via write_table): union old + newly
+    # scanned, keep-latest per node via a distributed grouped max — the
+    # state table stays in the cluster end to end
+    from ..stages.agg import grouped_agg
+    new_state = scanned_ds.map_batches(
+        lambda t: t.append_column(
+            "last_scan_unix", pa.array([now] * t.num_rows,
+                                       type=pa.float64())),
+        batch_format="pyarrow")
     state_path = _scan_state_path(out_dir)
-    old = rd.read_parquet(state_path).to_pandas() \
-        if os.path.isdir(state_path) else None
-    import pandas as pd
-    st = scanned if old is None else (
-        pd.concat([old, scanned]).sort_values("last_scan_unix")
-          .drop_duplicates("node_id", keep="last"))
-    write_table(rd.from_pandas(st.reset_index(drop=True)), state_path)
+    if os.path.isdir(state_path):
+        old = rd.read_parquet(state_path).map_batches(
+            lambda t: t.select(["node_id", "last_scan_unix"]).cast(
+                pa.schema([("node_id", pa.string()),
+                           ("last_scan_unix", pa.float64())])),
+            batch_format="pyarrow")
+        new_state = old.union(new_state)
+    st = grouped_agg(new_state, ["node_id"],
+                     [("last_scan_unix", "max", "last_scan_unix")])
+    write_table(st, state_path)
 
     return {"scanned": n_todo,
             "edges_total": _dir_num_rows(os.path.join(out_dir, "edges"))}
