@@ -93,6 +93,13 @@ def _kg_partner_components(sf_dir: str):
                        [("node_id", "count", "n_members")])
 
 
+def _kg_affected_versions(sf_dir: str):
+    """Version-range query over qualified product nodes (the "affected
+    versions" vuln-analysis shape; depversion matcher on the
+    materialized qualifiers column; rows-only)."""
+    return _kg_store(sf_dir).nodes_in_version_range(">=2.0 <6.0")
+
+
 def _kg_edge_props(sf_dir: str):
     """Typed-edge-prop rollup: count canonical edges per (predicate,
     props) for prop-carrying edges (version on released, role on
@@ -181,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_props": _kg_edge_props,
         "kg_chain_3hop": _kg_chain_3hop,
         "kg_partner_components": _kg_partner_components,
+        "kg_affected_versions": _kg_affected_versions,
     }
     return q
 

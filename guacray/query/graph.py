@@ -356,6 +356,29 @@ class GraphStore:
         return self._read_edges(predicates=preds).map_batches(
             fn, batch_format="pyarrow")
 
+    def nodes_in_version_range(self, range_expr: str,
+                               node_type: str = "product"):
+        """Version-qualified nodes whose qualifier matches a semver-ish
+        range expression — depversion range matching
+        (/root/reference/internal/client/depsdevclient deps version
+        semantics, functions/versions.py) applied ON the materialized
+        qualifier column: the "affected versions" query every
+        vuln-style analysis needs."""
+        from ..functions.text import parse_props
+        from ..functions.versions import range_includes
+
+        def fn(t: pa.Table) -> pa.Table:
+            keep = []
+            for q in t["qualifiers"].to_pylist():
+                ver = parse_props(q).get("version")
+                keep.append(ver is not None
+                            and range_includes(range_expr, ver))
+            return t.filter(pa.array(keep))
+
+        flt = pc.field("node_type") == node_type
+        return rd.read_parquet(self.nodes_path, filter=flt).map_batches(
+            fn, batch_format="pyarrow")
+
     def components(self, predicate: str = "partnered_with"):
         """ALL equivalence classes at once: distributed min-label
         propagation with pointer jumping over one undirected

@@ -131,3 +131,43 @@ def test_edge_id_props_in_identity():
     assert len({base, with_props, other}) == 3
     # propless hashing unchanged (pinned in test_keys.py)
     assert base == edge_id("a", "released", "b", "")
+
+
+def test_version_range_query_and_hive_props_filter(tmp_path):
+    """depversion range matching on the qualifiers column, and props
+    filters over the hive-partitioned edges layout."""
+    import os
+
+    import ray.data as rd
+
+    from guacray import schemas
+    from guacray.pipelines.kg import kg_datasets, write_table
+    from guacray.query.graph import GraphStore
+
+    html = ("<html><body><p>Acme Corp released HyperWidget 3.0. "
+            "Acme Corp released HyperWidget 5.1. "
+            "Acme Corp released HyperWidget 7.2. "
+            "Ada Lovelace works at Acme Corp as engineer."
+            "</p></body></html>")
+    pages = _pages_table([_page(html)])
+    out = kg_datasets(rd.from_arrow(pages))
+    d = str(tmp_path / "g")
+    write_table(out["nodes"], os.path.join(d, "nodes"), schemas.NODES)
+    # HIVE layout: per-predicate directory partitioning
+    write_table(out["edges"], os.path.join(d, "edges"), schemas.EDGES,
+                partition_cols=["predicate"])
+    store = GraphStore(d)
+
+    hit = store.nodes_in_version_range(">=3.0 <6.0").to_pandas()
+    assert sorted(q for q in hit["qualifiers"]) == \
+        ["version=3.0", "version=5.1"]
+    none = store.nodes_in_version_range(">=9.0").to_pandas()
+    assert len(none) == 0
+
+    # props filter prunes to the released partition dir and still sees
+    # the props column
+    v = store.edges_with_prop("version", predicates=["released"]) \
+        .to_pandas()
+    assert len(v) == 3 and set(v["predicate"]) == {"released"}
+    r = store.edges_with_prop("role", "engineer").to_pandas()
+    assert len(r) == 1 and r["predicate"].iloc[0] == "works_at"
