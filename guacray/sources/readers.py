@@ -431,3 +431,61 @@ def verify_dsse_stage(ds, public_keys: dict[str, bytes],
 # register the DSSE unpacker between compression and jsonlines (a DSSE
 # envelope is a single JSON object; order = first-applicable-wins)
 UNPACKERS.insert(1, ("dsse", _unpack_dsse))
+
+
+# ------------------------------------- compressed page records → flagship
+
+def read_pages_jsonl(path_or_dir: str):
+    """Collector for Common-Crawl-style page records: (possibly
+    compressed / DSSE-wrapped / nested) JSON-Lines files, one page
+    object per line — fed through ``unpack_tree`` and normalized to the
+    PAGES schema the flagship pipeline ingests.
+
+    Record fields: url (str), warc_ts (ISO-8601 or unix seconds),
+    html_b64 (base64 bytes), lang (str).  text is recomputed with the
+    engine's own extractor, preserving the text == extract_text(html)
+    invariant regardless of what the upstream record claimed.
+    """
+    import base64
+    import datetime as _dt
+
+    import pyarrow as _pa
+
+    from ..functions.text import extract_text
+
+    leaves = unpack_tree(read_binary_docs(path_or_dir))
+
+    def to_pages(batch: _pa.Table) -> _pa.Table:
+        urls, tss, htmls, texts, langs = [], [], [], [], []
+        for doc, err in zip(batch["doc"].to_pylist(),
+                            batch["error"].to_pylist()):
+            if err:
+                continue
+            try:
+                rec = json.loads(doc)
+                html = base64.b64decode(rec["html_b64"])
+                ts = rec["warc_ts"]
+                ts = (_dt.datetime.fromtimestamp(ts, _dt.timezone.utc)
+                      if isinstance(ts, (int, float))
+                      else _dt.datetime.fromisoformat(ts))
+                urls.append(rec["url"])
+                tss.append(ts)
+                htmls.append(html)
+                texts.append(extract_text(html))
+                langs.append(rec.get("lang", ""))
+            except Exception:
+                continue  # malformed record: drop (poison rows already
+                          # surfaced by unpack_tree's error column)
+        return _pa.table({
+            "url": _pa.array(urls, type=_pa.string()),
+            "warc_ts": _pa.array(tss,
+                                 type=_pa.timestamp("us", tz="UTC")),
+            "html": _pa.array(htmls, type=_pa.binary()),
+            "text": _pa.array(texts, type=_pa.string()),
+            "lang": _pa.array(langs, type=_pa.string()),
+        })
+
+    return leaves.map_batches(to_pages, batch_format="pyarrow")
+
+
+READERS["pages_jsonl"] = read_pages_jsonl

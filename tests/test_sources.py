@@ -139,3 +139,37 @@ def test_verify_dsse_stage(tmp_path):
                                                  out.to_dict("records"))}
     assert by["a.dsse"]["verified"] and by["a.dsse"]["payload"] == b'{"ok": 1}'
     assert not by["junk.dsse"]["verified"] and by["junk.dsse"]["error"]
+
+
+def test_compressed_jsonl_pages_feed_the_flagship(tmp_path):
+    """Common-Crawl-ish path: bz2-compressed JSONL page records →
+    unpack → PAGES schema → full KG pipeline, equal to ingesting the
+    same pages from parquet."""
+    import base64
+
+    import pandas as pd
+    import ray.data as rd
+
+    from guacray.data.pages import generate_pages
+    from guacray.pipelines.kg import kg_datasets
+    from guacray.sources.readers import read_pages_jsonl
+
+    pages = generate_pages(48)
+    recs = []
+    for r in pages.to_pylist():
+        recs.append(json.dumps({
+            "url": r["url"],
+            "warc_ts": r["warc_ts"].isoformat(),
+            "html_b64": base64.b64encode(r["html"]).decode(),
+            "lang": r["lang"],
+        }))
+    (tmp_path / "crawl-00.jsonl.bz2").write_bytes(
+        bz2.compress(("\n".join(recs) + "\n").encode()))
+
+    via_jsonl = read_pages_jsonl(str(tmp_path))
+    got = kg_datasets(via_jsonl)["edges"].to_pandas() \
+        .sort_values("edge_id").reset_index(drop=True)
+    exp = kg_datasets(rd.from_arrow(pages))["edges"].to_pandas() \
+        .sort_values("edge_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) > 0
