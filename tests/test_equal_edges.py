@@ -117,10 +117,10 @@ def test_connected_components_vs_union_find():
 
     rng = np.random.RandomState(7)
     edges = [(f"n{a:03d}", f"n{b:03d}")
-             for a, b in rng.randint(0, 40, size=(50, 2)) if a != b]
-    # pointer jumping makes rounds O(log diameter): an 8-chain converges
+             for a, b in rng.randint(0, 24, size=(30, 2)) if a != b]
+    # pointer jumping makes rounds O(log diameter): a 6-chain converges
     # in ~3 rounds (each round is several Ray executions — keep small)
-    edges += [(f"c{i:02d}", f"c{i+1:02d}") for i in range(8)]
+    edges += [(f"c{i:02d}", f"c{i+1:02d}") for i in range(6)]
     edges += [("z1", "z2")]
     ds = rd.from_items([{"subj_id": a, "obj_id": b} for a, b in edges])
 
