@@ -51,7 +51,8 @@ def run_bench() -> dict:
     from guacray.pipelines.kg import run_kg
 
     sf = _sf_name()
-    n_pages = _PAGES_FOR_SF.get(sf, 4096)
+    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES",
+                                 _PAGES_FOR_SF.get(sf, 4096)))
     # v2: generator gained role-clause sentences (typed edge props) —
     # new dir so stale round-1 shards are never mixed in
     pages_dir = f"/tmp/guacray_bench/pages_v2_{sf}_{n_pages}"
@@ -111,8 +112,17 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    # scaling fixture defaults to the bench fixture (round-1 protocol
+    # continuity); GRAFT_SCALING_PAGES overrides for the larger-input
+    # studies recorded in BASELINE.md (both sides keep gaining absolute
+    # throughput with input size; see the multi-scale table there)
+    scaling_pages = int(os.environ.get(
+        "GRAFT_SCALING_PAGES",
+        _PAGES_FOR_SF.get(_sf_name(), 4096)))
+
     def run_at(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_PAGES=str(scaling_pages))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
