@@ -158,8 +158,12 @@ class GraphStore:
                 m = m2 if m is None else pc.or_(m, m2)
             return t.filter(m)
 
+        # BFS consumers need only the id pair: project BEFORE collecting
+        # so a hub node's expansion ships 2 narrow columns, not whole
+        # edge rows
         ds = self._read_edges(predicates=predicates).map_batches(
-            fn, batch_format="pyarrow")
+            fn, batch_format="pyarrow").select_columns(
+            ["subj_id", "obj_id"])
         return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
 
     # ------------------------------------------------------------- BFS
