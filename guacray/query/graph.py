@@ -445,6 +445,14 @@ class GraphStore:
         if node_type is not None:
             flt = flt & (pc.field("node_type") == node_type)
         ds = rd.read_parquet(self.nodes_path, filter=flt)
+
+        # per-block local head(limit+1) first: the global sort then
+        # touches O(limit × blocks) rows, never the whole node table —
+        # pagination stays cheap at any table size
+        def local_head(t: pa.Table, k=limit + 1) -> pa.Table:
+            return t.sort_by("node_id").slice(0, k)
+
+        ds = ds.map_batches(local_head, batch_format="pyarrow")
         rows = ds.sort("node_id").limit(limit + 1).to_pandas()
         has_next = len(rows) > limit
         rows = rows.iloc[:limit]
