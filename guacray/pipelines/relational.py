@@ -28,7 +28,8 @@ import ray
 import ray.data as rd
 
 from ..functions.rounding import pc_round
-from ..stages.agg import auto_join, grouped_agg, semi_join, semi_join_filter
+from ..stages.agg import (auto_join, grouped_agg, semi_join,
+                          semi_join_filter, topk)
 from ..stages.ann import brute_force_topk, lsh_topk, make_query_vector
 from ..stages.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
 from ..stages.quality import (lang_id, norm_fingerprint, quality_scores,
@@ -109,7 +110,7 @@ def top_orders_by_revenue(sf_dir: str):
     out = grouped_agg(joined, ["l_orderkey", "o_orderdate", "o_orderpriority"],
                       [("revenue_item", "sum", "revenue")])
     out = out.map_batches(_round_cols(2, "revenue"), batch_format="pyarrow")
-    out = out.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+    out = topk(out, ["revenue", "l_orderkey"], [True, False], 10)
     return out.map_batches(
         lambda t: t.rename_columns(
             ["o_orderkey" if c == "l_orderkey" else c for c in t.column_names]),
@@ -231,8 +232,7 @@ def events_user_topk(sf_dir: str, k: int = 20):
         ("value", "sum", "total_value")])
     out = out.map_batches(_round_cols(2, "total_value"),
                           batch_format="pyarrow")
-    return out.sort(["total_value", "user_id"],
-                    descending=[True, False]).limit(k)
+    return topk(out, ["total_value", "user_id"], [True, False], k)
 
 
 def events_sessions(sf_dir: str, gap_minutes: int = 30, num_buckets: int | None = None):
@@ -540,8 +540,7 @@ def mention_topk(sf_dir: str, k: int = 5):
     the extraction output)."""
     out = grouped_agg(doc_mentions(sf_dir), ["mention"],
                       [("doc_id", "count", "n_mentions")])
-    return out.sort(["n_mentions", "mention"],
-                    descending=[True, False]).limit(k)
+    return topk(out, ["n_mentions", "mention"], [True, False], k)
 
 
 # --------------------------------------------------------------- documents

@@ -260,14 +260,13 @@ class GraphStore:
                        predicate: str = "works_at"):
         """Top-k objects by in-degree for a predicate — the dependents
         ranking (groupby → count → global top-k)."""
-        from ..stages.agg import grouped_agg
+        from ..stages.agg import grouped_agg, topk
         ds = self._read_edges(predicates=[predicate]).select_columns(
             ["obj_id", "n_evidence", "predicate"])
         out = grouped_agg(ds, ["obj_id"], [
             ("predicate", "count", "n_edges"),
             ("n_evidence", "sum", "n_mentions")])
-        return out.sort(["n_edges", "obj_id"],
-                        descending=[True, False]).limit(k)
+        return topk(out, ["n_edges", "obj_id"], [True, False], k)
 
     def two_hop(self, predicate1: str, predicate2: str):
         """Distributed 2-hop join chain: (a)-[p1]->(b)-[p2]->(c).

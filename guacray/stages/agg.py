@@ -93,6 +93,21 @@ def grouped_agg(ds, keys: list[str] | str,
         .map_groups(merge, batch_format="pyarrow")
 
 
+def topk(ds, by: list[str], descending: list[bool], k: int):
+    """Exact global top-k without a full sort: each block contributes
+    its local head(k) (vectorized Arrow sort_by), so the global sort
+    touches O(k × blocks) rows — the same plan shape as the ANN local
+    top-k, applied to any ordered limit."""
+    order = [(c, "descending" if d else "ascending")
+             for c, d in zip(by, descending)]
+
+    def local(t: pa.Table) -> pa.Table:
+        return t.sort_by(order).slice(0, k)
+
+    return ds.map_batches(local, batch_format="pyarrow") \
+             .sort(by, descending=descending).limit(k)
+
+
 def broadcast_lookup(small_df):
     """ray.put a small pandas dim table once for map-side joins.
 
