@@ -38,10 +38,18 @@ def slugify(name: str) -> str:
 
 
 def entity_key(etype: str, name: str, qualifiers: dict[str, str] | None = None) -> str:
-    """Canonical node key for a linked entity."""
+    """Canonical node key for a linked entity.
+
+    Qualifiers serialize with the SAME URL-quoted "k=v&k=v" encoding as
+    edge props (``functions.text.props_string``) so the one canonical
+    serialization is shared by node keys, the ``qualifiers`` column, and
+    the quoted needles ``nodes_with_qualifier`` searches with."""
     key = f"ent:{etype.lower()}::{slugify(name)}"
     if qualifiers:
-        q = "&".join(f"{k}={qualifiers[k]}" for k in sorted(qualifiers))
+        q = "&".join(
+            f"{urllib.parse.quote(k, safe='')}="
+            f"{urllib.parse.quote(str(qualifiers[k]), safe='')}"
+            for k in sorted(qualifiers))
         key += f"::{q}"
     return key
 
@@ -71,7 +79,7 @@ def parse_entity_key(key: str) -> tuple[str, str, dict[str, str]]:
     if len(parts) > 2 and parts[2]:
         for kv in parts[2].split("&"):
             k, _, v = kv.partition("=")
-            quals[k] = v
+            quals[urllib.parse.unquote(k)] = urllib.parse.unquote(v)
     return etype, slug, quals
 
 

@@ -255,10 +255,14 @@ def unpack_tree(ds, blob_col: str = "bytes", max_depth: int = 8):
     e.g. ``file.jsonl.bz2`` → decompress → explode lines → leaves.
 
     The tree walk happens INSIDE the row's task (a document tree is
-    process-local in the reference too); a per-document visited set of
-    content hashes plus ``max_depth`` guard against cycles and
+    process-local in the reference too); a per-PATH ancestor-chain set
+    of content hashes plus ``max_depth`` guard against cycles and
     decompression bombs (the parser's visited-set idea,
-    ingestor/parser/parser.go:216-220).
+    ingestor/parser/parser.go:216-220).  The guard is per ancestry, not
+    per document: a cycle means a blob re-appears in its OWN unpack
+    chain.  Sibling duplicates (e.g. two identical JSON-Lines records)
+    are legitimate documents and are all emitted — the reference's
+    jsonlines processor emits every line.
 
     Output rows: root_path, path (child provenance chain), depth,
     doc:string (utf-8, errors=replace), error.
@@ -271,14 +275,12 @@ def unpack_tree(ds, blob_col: str = "bytes", max_depth: int = 8):
         roots, paths, depths, docs, errors = [], [], [], [], []
         for root, blob in zip(batch["path"].to_pylist(),
                               batch[blob_col].to_pylist()):
-            seen: set[str] = set()
-            stack = [(root, blob, 0)]
+            stack = [(root, blob, 0, frozenset())]
             while stack:
-                path, b, depth = stack.pop()
+                path, b, depth, ancestors = stack.pop()
                 digest = hashlib.blake2b(b, digest_size=16).hexdigest()
-                if digest in seen:
-                    continue
-                seen.add(digest)
+                if digest in ancestors:
+                    continue  # blob appears in its own unpack chain
                 err = ""
                 children = None
                 if depth < max_depth:
@@ -292,9 +294,10 @@ def unpack_tree(ds, blob_col: str = "bytes", max_depth: int = 8):
                         if children is not None:
                             break
                 if children:
+                    child_anc = ancestors | {digest}
                     # reversed: stack pop order == document order
                     for c in reversed(children):
-                        stack.append((c[0], c[1], depth + 1))
+                        stack.append((c[0], c[1], depth + 1, child_anc))
                     continue
                 roots.append(root)
                 paths.append(path)

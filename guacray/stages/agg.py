@@ -41,17 +41,18 @@ def agg_by_name(t: pa.Table, keys: list[str],
 
 
 def _bucket_from_keys(t: pa.Table, keys: list[str], num_buckets: int) -> pa.Array:
-    # deterministic bucket from the string-joined key tuple
+    # deterministic bucket from the string-joined key tuple; hashed
+    # vectorized (pandas siphash with a fixed key — stable across runs
+    # and processes), not one hashlib call per row: this runs in the
+    # combiner hot path of every exchange
+    import numpy as np
+    import pandas as pd
     parts = [pc.cast(t[k], pa.string()) for k in keys]
     joined = parts[0]
     for p in parts[1:]:
         joined = pc.binary_join_element_wise(joined, p, "\x1f")
-    import hashlib
-    return pa.array(
-        [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=4).digest(),
-                        "big") % num_buckets
-         for s in joined.to_pylist()],
-        type=pa.int32())
+    h = pd.util.hash_array(joined.to_numpy(zero_copy_only=False))
+    return pa.array((h % num_buckets).astype(np.int32), type=pa.int32())
 
 
 def grouped_agg(ds, keys: list[str] | str,
@@ -232,15 +233,18 @@ def asof_join(left, right, *, by_left: str, by_right: str,
         out_cols = l_names + [c for c in r_use if c not in l_names]
         if lf.empty or rf.empty:
             return pd.DataFrame(columns=out_cols)
-        lf = lf.astype({c: "int64" for c in l_ints})
-        rf = rf.astype({c: "int64" for c in r_ints})
+        # only restore columns fully non-null within the side's OWN rows:
+        # a genuine null in the data must not crash the merge task
+        lf = lf.astype({c: "int64" for c in l_ints if lf[c].notna().all()})
+        rf = rf.astype({c: "int64" for c in r_ints if rf[c].notna().all()})
         lf = lf.sort_values(on_left)
         rf = rf.sort_values(on_right)
         out = pd.merge_asof(lf, rf, left_on=on_left, right_on=on_right,
                             left_by=by_left, right_by=by_right,
                             direction="backward")
         out = out[out[on_right].notna()]
-        return out.astype({c: "int64" for c in r_ints if c in out_cols})
+        return out.astype({c: "int64" for c in r_ints
+                           if c in out_cols and out[c].notna().all()})
 
     both = l.union(r)
     return both.groupby("bucket").map_groups(merge, batch_format="pandas")
@@ -259,7 +263,11 @@ def semi_join_filter(ds, keys, col: str, anti: bool = False):
     if isinstance(keys, ray.ObjectRef):
         keys = ray.get(keys)
     if not isinstance(keys, (pa.Array, pa.ChunkedArray)):
-        keys = pa.array(sorted(keys))
+        # a null join key never matches (SQL semantics); also sorted()
+        # would raise on None
+        keys = pa.array(sorted(k for k in keys if k is not None))
+    elif keys.null_count:
+        keys = pc.drop_null(keys)
     if len(keys) == 0:
         return ds if anti else ds.limit(0)
     arr_ref = ray.put(keys)
@@ -290,7 +298,7 @@ def semi_join(left, right, *, on: str, right_on: str | None = None,
 
     def distinct_keys(t: pa.Table) -> pa.Table:
         agg = t.group_by(right_on).aggregate([])
-        return agg.rename_columns(["__sj_key"])
+        return agg.rename_columns(["__sj_key"]).drop_null()
 
     keys_ds = right.map_batches(distinct_keys, batch_format="pyarrow",
                                 batch_size=None).materialize()

@@ -29,6 +29,9 @@ def make_query_vector(dim: int = 64, seed: int = 7) -> np.ndarray:
 
 def _batch_sims(batch: pa.Table, q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+    if batch.num_rows == 0:  # np.stack raises on zero arrays
+        return (vec_ids.astype(np.int64),
+                np.array([], dtype=np.float64))
     emb = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
     norms = np.linalg.norm(emb, axis=1)
     norms[norms == 0] = 1.0
@@ -273,6 +276,11 @@ def ivf_topk(ds, query: np.ndarray, centroids: np.ndarray, k: int = 50,
     probe_arr = np.array(sorted(probe))
 
     def local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty block after repartition/filter
+            return pa.table({
+                "vec_id": pa.array([], type=pa.int64()),
+                "cos_sim": pa.array([], type=pa.float64()),
+            })
         cent = ray.get(cent_ref)
         vec_ids, sims = _batch_sims(batch, query)
         emb = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \

@@ -71,12 +71,14 @@ def test_unpack_tree_recursive(tmp_path):
     assert d3["doc"].iloc[0] == "just text, no structure"
 
 
-def test_unpack_tree_dedups_identical_children(tmp_path):
-    """Visited-set: byte-identical children collapse (parser.go:216-220)."""
+def test_unpack_tree_emits_duplicate_siblings(tmp_path):
+    """Byte-identical SIBLINGS are all emitted (the reference's
+    jsonlines processor emits every line); the cycle guard only trips
+    when a blob re-appears in its own ancestor chain."""
     dup = b'{"x": 1}\n{"x": 1}\n{"x": 2}\n'
     (tmp_path / "d.jsonl").write_bytes(dup)
     out = unpack_tree(read_binary_docs(str(tmp_path))).to_pandas()
-    assert sorted(json.loads(x)["x"] for x in out["doc"]) == [1, 2]
+    assert sorted(json.loads(x)["x"] for x in out["doc"]) == [1, 1, 2]
 
 
 def _make_envelope(payload: bytes, payload_type="application/vnd.test+json"):
