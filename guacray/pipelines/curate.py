@@ -73,13 +73,21 @@ def curate(sf_dir: str, *, allow_langs=("en", "es", "de", "fr"),
     # 3. exact dedup: canonical (min doc_id) copy per distinct text
     canon = exact_dedup(docs).select_columns(["doc_id"])
 
-    # 4. near-dup: among canonical survivors, drop doc_b of each pair
-    dropped = minhash_lsh_pairs(docs, threshold=near_dup_threshold) \
+    # gates first, signatures second: MinHash signing is the expensive
+    # stage, so it consumes only the lang/quality/exact-canonical
+    # SURVIVORS, not the whole corpus.  Materialized because two
+    # consumers follow (the signature pass and the final anti join) —
+    # at 100 TB this materialization is the natural checkpoint between
+    # the cheap gates and the expensive near-dup stage.
+    survivors = semi_join(docs, keep_lang_q, on="doc_id")
+    survivors = semi_join(survivors, canon, on="doc_id").materialize()
+
+    # 4. near-dup among survivors: drop doc_b (the higher id) of each pair
+    dropped = minhash_lsh_pairs(survivors, threshold=near_dup_threshold) \
         .select_columns(["doc_b"])
 
-    out = semi_join(docs, keep_lang_q, on="doc_id")
-    out = semi_join(out, canon, on="doc_id")
-    out = semi_join(out, dropped, on="doc_id", right_on="doc_b", anti=True)
+    out = semi_join(survivors, dropped, on="doc_id", right_on="doc_b",
+                    anti=True)
     if sample_fraction is not None:
         out = out.random_sample(sample_fraction, seed=seed)
     if shuffle:

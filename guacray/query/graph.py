@@ -164,7 +164,11 @@ class GraphStore:
         ds = self._read_edges(predicates=predicates).map_batches(
             fn, batch_format="pyarrow").select_columns(
             ["subj_id", "obj_id"])
-        return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+        df = ds.to_pandas()
+        if "subj_id" not in df.columns:  # empty expansion drops schema
+            return pa.table({"subj_id": pa.array([], type=pa.string()),
+                             "obj_id": pa.array([], type=pa.string())})
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     # ------------------------------------------------------------- BFS
 
@@ -488,6 +492,195 @@ class GraphStore:
                                 "edge_ids": sorted(set(edge_ids)),
                                 "removed": before - after}) + "\n")
         return before - after
+
+    def delete_node(self, node_id: str) -> dict:
+        """Delete a node AND its incident edges — the reference's node
+        delete removes the node plus its relationships
+        (/root/reference/pkg/assembler/graphql/schema/delete.graphql).
+
+        One atomic rewrite per table (tmp dir + rename swap, like
+        ``delete_edges``); EVIDENCE IS RETAINED — provenance of a
+        deleted statement stays auditable, matching the tombstone-log
+        philosophy (the reference's delete also leaves ingested blobs
+        in the blob store).  The tombstone log records the node and
+        every removed edge id."""
+        import json
+        import time as _t
+
+        from ..pipelines.kg import write_table
+        from .. import schemas
+
+        # collect the incident edge ids first (small: one node's edges)
+        incident = self.neighbors(node_id).select_columns(["edge_id"]) \
+            .to_pandas()["edge_id"].tolist()
+
+        def drop_edges(t: pa.Table) -> pa.Table:
+            m = pc.or_(pc.equal(t["subj_id"], pa.scalar(node_id)),
+                       pc.equal(t["obj_id"], pa.scalar(node_id)))
+            return t.filter(pc.invert(m))
+
+        remaining_edges = rd.read_parquet(self.edges_path).map_batches(
+            drop_edges, batch_format="pyarrow")
+        write_table(remaining_edges, self.edges_path, schemas.EDGES)
+
+        nodes_before = rd.read_parquet(self.nodes_path).count()
+        remaining_nodes = rd.read_parquet(self.nodes_path).map_batches(
+            lambda t: t.filter(pc.invert(pc.equal(t["node_id"],
+                                                  pa.scalar(node_id)))),
+            batch_format="pyarrow")
+        write_table(remaining_nodes, self.nodes_path, schemas.NODES)
+        nodes_removed = nodes_before - rd.read_parquet(self.nodes_path).count()
+
+        log = os.path.join(os.path.dirname(self.edges_path),
+                           "_tombstones.jsonl")
+        with open(log, "a") as f:
+            f.write(json.dumps({"ts_unix": round(_t.time(), 3),
+                                "node_id": node_id,
+                                "edge_ids": sorted(incident),
+                                "removed_nodes": nodes_removed,
+                                "removed_edges": len(incident)}) + "\n")
+        return {"nodes_removed": nodes_removed,
+                "edges_removed": len(incident)}
+
+    def edges_page(self, *, after_edge_id: str = "", limit: int = 100,
+                   predicates: list[str] | None = None):
+        """Cursor pagination over edges ordered by edge_id — the edges
+        analog of ``nodes_page`` (the paginated ``*List`` connections
+        pattern, schema/pagination.graphql).  Same O(limit × blocks)
+        local-head plan; the cursor is the last edge_id (content-hash
+        ids are stable under appends)."""
+        flt = pc.field("edge_id") > after_edge_id
+        ds = self._read_edges(predicates=predicates, flt=flt)
+
+        def local_head(t: pa.Table, k=limit + 1) -> pa.Table:
+            return t.sort_by("edge_id").slice(0, k)
+
+        ds = ds.map_batches(local_head, batch_format="pyarrow")
+        rows = ds.sort("edge_id").limit(limit + 1).to_pandas()
+        has_next = len(rows) > limit
+        rows = rows.iloc[:limit]
+        cursor = rows["edge_id"].iloc[-1] if has_next and len(rows) else None
+        return rows, cursor
+
+    def reachable_with_classes(self, start_id: str, *,
+                               direction: str = "out",
+                               predicates: list[str] | None = None,
+                               class_predicate: str = "partnered_with",
+                               max_depth: int = 10) -> dict[str, int]:
+        """Frontier BFS that treats equivalence-class members as ONE
+        node mid-walk — the reference's retrieveDependencies expands the
+        start node's HashEqual/PkgEqual class and keeps expanding
+        classes during the closure (/root/reference/pkg/guacrest/server/
+        retrieveDependencies.go:145-260).
+
+        Every reached node is closed over ``class_predicate`` edges
+        (undirected, SAME depth) before the next directed hop, so a
+        path that only exists through an equal member is found.  Class
+        members enter the depth map at the depth of the node that
+        pulled them in."""
+        def class_close(nodes: set[str], depth_map: dict[str, int],
+                        d: int) -> set[str]:
+            # expand to class fixpoint at depth d; returns the new members
+            added_all: set[str] = set()
+            frontier = set(nodes)
+            while frontier:
+                edges = self._frontier_expand(frontier,
+                                              [class_predicate], "both")
+                new: set[str] = set()
+                for s, o in zip(edges["subj_id"].to_pylist(),
+                                edges["obj_id"].to_pylist()):
+                    for a, b in ((s, o), (o, s)):
+                        if a in frontier and b not in depth_map:
+                            depth_map[b] = d
+                            new.add(b)
+                added_all |= new
+                frontier = new
+            return added_all
+
+        depth = {start_id: 0}
+        frontier = {start_id} | class_close({start_id}, depth, 0)
+        for d in range(1, max_depth + 1):
+            if not frontier:
+                break
+            edges = self._frontier_expand(frontier, predicates, direction)
+            nxt: set[str] = set()
+            for s, o in zip(edges["subj_id"].to_pylist(),
+                            edges["obj_id"].to_pylist()):
+                if direction == "out":
+                    cand = [(s, o)]
+                elif direction == "in":
+                    cand = [(o, s)]
+                else:
+                    cand = [(s, o), (o, s)]
+                for a, b in cand:
+                    if a in frontier and b not in depth:
+                        depth[b] = d
+                        nxt.add(b)
+            nxt |= class_close(nxt, depth, d)
+            frontier = nxt
+        return depth
+
+    def chain_with_classes(self, predicates: list[str], *,
+                           class_predicate: str = "partnered_with",
+                           props_filters=None):
+        """``chain`` with equivalence-class expansion at every hop
+        boundary: hop i's object matches hop i+1's subject if they are
+        equal THROUGH the class predicate (retrieveDependencies' mid-
+        closure class expansion, as a join plan instead of a BFS).
+
+        Plan: label every boundary id with its class component
+        (``components`` — distributed min-label CC), then join on the
+        component label; ids outside any class keep their own id as the
+        label.  Partitioning assumption: the class-membership table
+        (nodes incident to ``class_predicate`` edges) is dimension-
+        sized and broadcasts; at larger class cardinality swap the
+        broadcast for an auto_join on the boundary column.
+        Output columns: n0..nK (original node ids, not labels)."""
+        from ..stages.agg import auto_join
+        assert predicates, "need at least one hop"
+        if props_filters is None:
+            props_filters = [None] * len(predicates)
+
+        comp = self.components(class_predicate).to_pandas()
+        comp_map = dict(zip(comp["node_id"], comp["component"]))
+        ref = ray.put(comp_map)
+
+        def with_label(col: str, out: str):
+            def fn(t: pa.Table) -> pa.Table:
+                m = ray.get(ref)
+                vals = t[col].to_pylist()
+                lab = pa.array([m.get(v, v) for v in vals],
+                               type=pa.string())
+                return t.append_column(out, lab)
+            return fn
+
+        def hop_edges(i: int):
+            pf = props_filters[i]
+            if pf is None:
+                return self._read_edges(predicates=[predicates[i]])
+            return self.edges_with_prop(pf[0], pf[1],
+                                        predicates=[predicates[i]])
+
+        out = hop_edges(0).map_batches(
+            lambda t: pa.table({"n0": t["subj_id"], "n1": t["obj_id"]}),
+            batch_format="pyarrow")
+        for i in range(1, len(predicates)):
+            out = out.map_batches(with_label(f"n{i}", f"__l{i}"),
+                                  batch_format="pyarrow")
+            nxt = hop_edges(i).map_batches(
+                lambda t, i=i: pa.table({f"__k{i}": t["subj_id"],
+                                         f"n{i + 1}": t["obj_id"]}),
+                batch_format="pyarrow").map_batches(
+                with_label(f"__k{i}", f"__r{i}"), batch_format="pyarrow")
+            out = auto_join(out, nxt, on=f"__l{i}", right_on=f"__r{i}")
+            out = out.map_batches(
+                lambda t, i=i: t.drop_columns(
+                    [c for c in (f"__k{i}", f"__l{i}", f"__r{i}")
+                     if c in t.column_names]),
+                batch_format="pyarrow")
+        cols = [f"n{i}" for i in range(len(predicates) + 1)]
+        return out.map_batches(lambda t: t.select(cols),
+                               batch_format="pyarrow")
 
     def evidence_for_edge(self, edge_id: str):
         """Provenance drill-down: evidence rows for one canonical edge."""

@@ -206,6 +206,85 @@ def decode_compressed(ds, blob_col: str = "bytes"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+# ------------------------------------------------- format validation
+
+def _validate_json(blob: bytes) -> None:
+    json.loads(blob)
+
+
+def _validate_jsonlines(blob: bytes) -> None:
+    for ln in blob.decode("utf-8").splitlines():
+        if ln.strip():
+            json.loads(ln)
+
+
+def _validate_xml(blob: bytes) -> None:
+    import xml.etree.ElementTree as ET
+    ET.fromstring(blob)
+
+
+# validator registry — the validateFormat table of the reference
+# (/root/reference/pkg/handler/processor/process/process.go:235-258:
+# JSON / JSON-Lines / XML well-formedness); user-extensible like the
+# other type-keyed registries.
+VALIDATORS = {
+    "json": _validate_json,
+    "json-lines": _validate_jsonlines,
+    "xml": _validate_xml,
+}
+
+
+def guess_format(blob: bytes) -> str:
+    """Cheap structural format guess (the FormatType guesser,
+    processor/guesser/format_guesser.go analog): '<' → xml, '{'/'[' →
+    json (json-lines when >1 non-empty JSON-looking line), else
+    unknown."""
+    head = blob.lstrip()[:1]
+    if head == b"<":
+        return "xml"
+    if head in (b"{", b"["):
+        try:
+            lines = [ln for ln in blob.decode("utf-8").splitlines()
+                     if ln.strip()]
+        except UnicodeDecodeError:
+            return "unknown"
+        if len(lines) > 1 and all(ln.lstrip()[:1] in "{[" for ln in lines):
+            return "json-lines"
+        return "json"
+    return "unknown"
+
+
+def validate_format(ds, blob_col: str = "bytes", fmt: str | None = None):
+    """validateFormat gate: stamp ``format`` and ``error`` columns; a
+    non-empty error marks a dead-letter row (the reference rejects the
+    document, process.go:235-258 — we keep it queryable).  ``fmt``
+    forces a format; otherwise each blob is guessed.  Unknown formats
+    pass through un-errored (the reference only validates the three
+    structured formats)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        fmts, errors = [], []
+        for blob in batch[blob_col].to_pylist():
+            b = blob if isinstance(blob, (bytes, bytearray)) \
+                else str(blob).encode()
+            f = fmt or guess_format(b)
+            err = ""
+            v = VALIDATORS.get(f)
+            if v is not None:
+                try:
+                    v(b)
+                except Exception as e:
+                    err = f"{type(e).__name__}: {e}"
+            fmts.append(f)
+            errors.append(err)
+        out = batch
+        for name, vals in (("format", fmts), ("error", errors)):
+            if name in out.column_names:
+                out = out.drop_columns([name])
+            out = out.append_column(name, pa.array(vals, type=pa.string()))
+        return out
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 # ------------------------------------------------ recursive DocumentTree
 
 def _unpack_compression(path: str, blob: bytes):

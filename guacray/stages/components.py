@@ -78,6 +78,7 @@ def connected_components(edges_ds, *, subj_col: str = "subj_id",
             batch_format="pyarrow"),
         ["node_id"], [("label", "min", "label")]).materialize()
 
+    prev = _label_fingerprint(labels)
     for _ in range(max_iters):
         # labels onto each endpoint → per-edge candidate labels in both
         # directions, then min per node including the current label
@@ -121,12 +122,14 @@ def connected_components(edges_ds, *, subj_col: str = "subj_id",
         # convergence: labels are monotonically non-increasing per node,
         # so the SUM of per-label integer prefixes strictly decreases
         # iff any label changed — an exact check from one cheap grouped
-        # sum over the (small, materialized) labels table, no join
+        # sum over the (small, materialized) labels table, no join.
+        # The previous iteration's fingerprint is CARRIED as a scalar,
+        # not recomputed — one fingerprint pass per iteration.
         fp = _label_fingerprint(merged)
-        prev = _label_fingerprint(labels)
         labels = merged
         if fp == prev:
             break
+        prev = fp
 
     return labels.map_batches(
         lambda t: pa.table({"node_id": t["node_id"],

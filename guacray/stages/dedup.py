@@ -220,6 +220,14 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16,
 
 # ------------------------------------------------------------- simhash
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over a uint64 array (bit order is irrelevant
+    for counting, so a plain byte view works)."""
+    if len(x) == 0:
+        return np.zeros(0, dtype=np.int64)
+    bits = np.unpackbits(np.ascontiguousarray(x).view(np.uint8))
+    return bits.reshape(len(x), 64).sum(axis=1).astype(np.int64)
+
 class SimHasher:
     """64-bit SimHash over word unigrams+bigrams; stateful stage holds
     nothing heavy but keeps the pattern (compiled once per actor)."""
@@ -282,22 +290,33 @@ def simhash_pairs(ds, max_hamming: int = 3):
         batch_format="pyarrow")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        import pandas as pd
         out_a, out_b, out_d = [], [], []
         df = group.to_pandas()
         for _, g in df.groupby("band_key"):
             if len(g) < 2:
                 continue
             g = g.sort_values("doc_id").drop_duplicates("doc_id")
+            if len(g) < 2:
+                continue
             ids = g["doc_id"].to_numpy()
-            hs = g["simhash"].to_numpy().astype(np.uint64)
-            for i in range(len(ids)):
-                x = hs[i] ^ hs[i + 1:]
-                dist = np.array([bin(int(v)).count("1") for v in x])
-                for j in np.nonzero(dist <= max_hamming)[0]:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[i + 1 + j]))
-                    out_d.append(int(dist[j]))
+            hs = np.ascontiguousarray(
+                g["simhash"].to_numpy().astype(np.uint64))
+            # anchor + adjacent-chain pairing — the MinHash pattern
+            # (minhash_lsh_pairs above): LINEAR in group size, so an
+            # exact-dup mega-cluster sharing all four bands emits O(n)
+            # pairs, never O(n²); connected components over the emitted
+            # pairs reconstruct full clusters.  Popcount vectorized via
+            # unpackbits (no Python per-pair bin().count()).
+            anchor = _popcount64(hs[0] ^ hs[1:])
+            for j in np.nonzero(anchor <= max_hamming)[0]:
+                out_a.append(int(ids[0]))
+                out_b.append(int(ids[1 + j]))
+                out_d.append(int(anchor[j]))
+            chain = _popcount64(hs[1:-1] ^ hs[2:])
+            for j in np.nonzero(chain <= max_hamming)[0]:
+                out_a.append(int(ids[1 + j]))
+                out_b.append(int(ids[2 + j]))
+                out_d.append(int(chain[j]))
         return pa.table({
             "doc_a": pa.array(out_a, type=pa.int64()),
             "doc_b": pa.array(out_b, type=pa.int64()),

@@ -171,3 +171,112 @@ def test_components_of_partnered_clusters(tmp_path):
             if c == cmap[ids["Acme Corp"]]} == acme_cls
     assert cmap[ids["Umbrella Corp"]] == cmap[ids["Stark Corp"]]
     assert cmap[ids["Umbrella Corp"]] != cmap[ids["Acme Corp"]]
+
+
+def test_class_aware_traversal_reaches_through_members(tmp_path):
+    """A path that only exists through an equivalence-class member is
+    found (retrieveDependencies.go:145-260 mid-closure expansion):
+    Acme ~ Globex (partnered), and only GLOBEX acquired Initech."""
+    pages = _pages([
+        _page("<p>Acme Corp partnered with Globex Corp. "
+              "Globex Corp acquired Initech Corp. "
+              "Initech Corp released HyperWidget 2.0.</p>", "https://x/1"),
+    ])
+    store, out = _store(tmp_path, pages)
+    nodes = out["nodes"].to_pandas()
+    ids = dict(zip(nodes["name"], nodes["node_id"]))
+    acme, initech = ids["Acme Corp"], ids["Initech Corp"]
+
+    # plain BFS from Acme over 'acquired' finds nothing
+    plain = store.reachable(acme, predicates=["acquired"])
+    assert initech not in plain
+    # class-aware BFS walks through Globex (same class, depth 0)
+    got = store.reachable_with_classes(acme, predicates=["acquired"])
+    assert got[initech] == 1
+    # and keeps going: acquired then released
+    got2 = store.reachable_with_classes(
+        acme, predicates=["acquired", "released"])
+    hw = nodes[nodes["name"].str.startswith("HyperWidget")]
+    assert any(n in got2 for n in hw["node_id"])
+
+
+def test_chain_with_classes_joins_through_members(tmp_path):
+    """chain_with_classes: hop boundary matches through the class —
+    Ada works at Acme; only Globex (Acme's partner) acquired Initech."""
+    pages = _pages([
+        _page("<p>Ada Lovelace works at Acme Corp as engineer. "
+              "Acme Corp partnered with Globex Corp. "
+              "Globex Corp acquired Initech Corp.</p>", "https://x/1"),
+    ])
+    store, out = _store(tmp_path, pages)
+    nodes = out["nodes"].to_pandas()
+    ids = dict(zip(nodes["name"], nodes["node_id"]))
+
+    plain = store.chain(["works_at", "acquired"]).to_pandas()
+    assert len(plain) == 0
+    got = store.chain_with_classes(["works_at", "acquired"]).to_pandas()
+    assert len(got) == 1
+    assert got["n0"].iloc[0] == ids["Ada Lovelace"]
+    assert got["n1"].iloc[0] == ids["Acme Corp"]   # left side's id kept
+    assert got["n2"].iloc[0] == ids["Initech Corp"]
+
+
+def test_delete_node_removes_incident_edges(tmp_path):
+    """Node delete = node + relationships in one atomic rewrite
+    (schema/delete.graphql); evidence retained; tombstone logs both."""
+    import json as _json
+
+    pages = _pages([
+        _page("<p>Ada Lovelace works at Acme Corp as engineer. "
+              "Acme Corp acquired Globex Corp. "
+              "Globex Corp released HyperEngine.</p>", "https://x/1"),
+    ])
+    out = kg_datasets(rd.from_arrow(pages))
+    d = str(tmp_path / "g")
+    write_table(out["nodes"], os.path.join(d, "nodes"), schemas.NODES)
+    write_table(out["edges"], os.path.join(d, "edges"), schemas.EDGES)
+    write_table(out["triples"], os.path.join(d, "triples"),
+                schemas.TRIPLES)
+    store = GraphStore(d)
+    nodes = rd.read_parquet(store.nodes_path).to_pandas()
+    ids = dict(zip(nodes["name"], nodes["node_id"]))
+    acme = ids["Acme Corp"]
+    n_ev_before = rd.read_parquet(
+        os.path.join(d, "triples")).count()
+
+    res = store.delete_node(acme)
+    assert res["nodes_removed"] == 1
+    assert res["edges_removed"] == 2            # works_at in, acquired out
+
+    assert store.node_by_id(acme).count() == 0
+    assert store.neighbors(acme).count() == 0
+    # untouched edge survives
+    rem = rd.read_parquet(store.edges_path).to_pandas()
+    assert set(rem["predicate"]) == {"released"}
+    # evidence (triples checkpoint) retained
+    assert rd.read_parquet(os.path.join(d, "triples")).count() \
+        == n_ev_before
+    # tombstone log records node and edges
+    log = [_json.loads(ln) for ln in
+           open(os.path.join(d, "_tombstones.jsonl"))]
+    assert log[-1]["node_id"] == acme
+    assert log[-1]["removed_edges"] == 2 and len(log[-1]["edge_ids"]) == 2
+
+
+def test_edges_page_cursor(tmp_path):
+    pages = _pages([
+        _page("<p>Ada Lovelace works at Acme Corp as engineer. "
+              "Acme Corp acquired Globex Corp. "
+              "Globex Corp released HyperEngine. "
+              "Umbrella Corp partnered with Stark Corp. "
+              "Grace Hopper works at Globex Corp as scientist.</p>",
+              "https://x/1"),
+    ])
+    store, out = _store(tmp_path, pages)
+    all_ids = sorted(out["edges"].to_pandas()["edge_id"])
+    got, cursor = [], ""
+    while cursor is not None:
+        page, cursor = store.edges_page(after_edge_id=cursor, limit=2)
+        got.extend(page["edge_id"])
+        assert len(page) <= 2
+    assert got == all_ids

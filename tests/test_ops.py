@@ -238,13 +238,22 @@ def test_curate_matches_driver_set_semantics():
         lambda t: t.filter(pc.is_in(t["lang_pred"], value_set=allow)),
         batch_format="pyarrow").to_pandas()["doc_id"])
     q_ids = set(quality_scores(docs).map_batches(
-        lambda t: t.filter(pc.greater_equal(t["quality"], pa.scalar(0.3))),
+        lambda t: t.filter(pc.greater_equal(t["quality"], pa.scalar(0.5))),
         batch_format="pyarrow").to_pandas()["doc_id"])
     canon_ids = set(exact_dedup(docs).to_pandas()["doc_id"])
-    dropped = set(minhash_lsh_pairs(docs, threshold=0.6)
+    # near-dup pairs are computed over the gate SURVIVORS (signatures
+    # are the expensive stage; curate feeds them only what the cheap
+    # gates kept), so the oracle pairs over the same restricted set
+    survivor_ids = lang_ids & q_ids & canon_ids
+    assert len(survivor_ids) < docs.count()  # signature input < corpus
+    survivors = docs.map_batches(
+        lambda t, ids=survivor_ids: t.filter(pa.array(
+            [i in ids for i in t["doc_id"].to_pylist()])),
+        batch_format="pyarrow")
+    dropped = set(minhash_lsh_pairs(survivors, threshold=0.6)
                   .to_pandas()["doc_b"])
-    expect = (lang_ids & q_ids & canon_ids) - dropped
-    got = set(curate(sf).to_pandas()["doc_id"])
+    expect = survivor_ids - dropped
+    got = set(curate(sf, min_quality=0.5).to_pandas()["doc_id"])
     assert got == expect
 
 
@@ -417,3 +426,17 @@ def test_ivf_topk_recall_vs_brute():
     assert list(full["vec_id"]) == list(brute["vec_id"])  # total recall
     recall8 = 1.0
     assert recall8 >= recall4
+
+
+def test_simhash_mega_cluster_linear_pairs():
+    """Planted exact-dup cluster sharing all four bands: all-pairs
+    emission would be O(n²) (~50M pairs at n=10k); anchor+adjacent-chain
+    keeps it linear and connected components over the emitted pairs
+    still reconstruct the full cluster."""
+    n = 10_000
+    ds = _docs([BASE] * n)
+    pairs = simhash_pairs(ds, max_hamming=3).to_pandas()
+    assert 0 < len(pairs) <= 2 * n          # linear, not ~n²/2
+    ids = set(pairs["doc_a"]) | set(pairs["doc_b"])
+    assert ids == set(range(n))             # cluster fully covered
+    assert (pairs["hamming"] == 0).all()

@@ -175,3 +175,29 @@ def test_compressed_jsonl_pages_feed_the_flagship(tmp_path):
         .sort_values("edge_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
     assert len(got) > 0
+
+
+def test_validate_format_gate(tmp_path):
+    """validateFormat registry (process.go:235-258): JSON / JSON-Lines /
+    XML well-formedness; malformed XML dead-letters via the error
+    column, unknown formats pass un-errored."""
+    from guacray.sources.readers import validate_format
+
+    (tmp_path / "ok.xml").write_bytes(b"<root><a x='1'>hi</a></root>")
+    (tmp_path / "bad.xml").write_bytes(b"<root><unclosed></root>")
+    (tmp_path / "ok.json").write_bytes(b'{"a": 1}')
+    (tmp_path / "bad.json").write_bytes(b'{"a": ')
+    (tmp_path / "ok.jsonl").write_bytes(JSONL)
+    (tmp_path / "plain.txt").write_bytes(b"just text")
+
+    out = validate_format(read_binary_docs(str(tmp_path))).to_pandas()
+    by = {os.path.basename(p): r for p, r in
+          zip(out["path"], out.to_dict("records"))}
+    assert by["ok.xml"]["format"] == "xml" and by["ok.xml"]["error"] == ""
+    assert by["bad.xml"]["format"] == "xml" and by["bad.xml"]["error"] != ""
+    assert by["ok.json"]["format"] == "json" and by["ok.json"]["error"] == ""
+    assert by["bad.json"]["error"] != ""
+    assert by["ok.jsonl"]["format"] == "json-lines"
+    assert by["ok.jsonl"]["error"] == ""
+    assert by["plain.txt"]["format"] == "unknown"
+    assert by["plain.txt"]["error"] == ""
