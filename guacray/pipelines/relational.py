@@ -703,12 +703,15 @@ def doc_sample(sf_dir: str, fraction: float = 0.2, seed: int = 7):
 
 
 def media_features(sf_dir: str, n: int = 128):
-    """Multimodal plumbing query: deterministic fake media table →
-    actor-pool decode/feature stage (rows-only; decode kernel stubbed —
-    see stages/multimodal.py)."""
-    from ..stages.multimodal import extract_media_features, synth_media_table
-    media = rd.from_arrow(synth_media_table(n))
-    feats = extract_media_features(media)
+    """Multimodal decode query: deterministic REAL-format media table
+    (P6 PPM / 24-bit BMP images, y4m videos) → actor-pool decode +
+    feature stage with the real pure-Python raster kernel (rows-only;
+    audio/video feature kernels stay honest stubs, surfaced via the
+    ``error`` column — see stages/multimodal.py)."""
+    from ..stages.multimodal import (extract_media_features,
+                                     synth_real_media_table)
+    media = rd.from_arrow(synth_real_media_table(n))
+    feats = extract_media_features(media, decoder="real")
 
     # summarize the vector column to scalars (list cells don't survive
     # order-insensitive hashing/sorting in compare harnesses)
@@ -728,15 +731,18 @@ def media_features(sf_dir: str, n: int = 128):
 
 
 def media_frames(sf_dir: str, n: int = 128):
-    """Multimodal frame-sampling query: fake media table → resize
-    (images) → frame-sample (videos) actor stages; frames summarized to
-    scalars (rows-only; kernels are the documented honest stubs)."""
+    """Multimodal frame-sampling query: REAL-format media table →
+    box-filter resize (images) → y4m frame-sample (videos), all with
+    the real pure-Python kernels — frames are REAL pixels, summarized
+    to scalars for the compare harness (rows-only)."""
     import hashlib
 
     from ..stages.multimodal import (resize_images, sample_frames,
-                                     synth_media_table)
-    media = rd.from_arrow(synth_media_table(n))
-    frames = sample_frames(resize_images(media, target=(64, 64)))
+                                     synth_real_media_table)
+    media = rd.from_arrow(synth_real_media_table(n))
+    frames = sample_frames(resize_images(media, target=(64, 64),
+                                         decoder="real"),
+                           decoder="real")
 
     def summarize(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -746,6 +752,7 @@ def media_frames(sf_dir: str, n: int = 128):
             "frame_sha256": pa.array(
                 [hashlib.sha256(f).hexdigest() for f in
                  t["frame"].to_pylist()], type=pa.string()),
+            "error": t["error"],
         })
     return frames.map_batches(summarize, batch_format="pyarrow")
 

@@ -128,10 +128,10 @@ def test_multimodal_fake_decode():
     b = again.sort_values("media_id").reset_index(drop=True)
     assert (a["payload_sha256"] == b["payload_sha256"]).all()
     assert all(list(x) == list(y) for x, y in zip(a["features"], b["features"]))
-    # real decoder is an explicit stub
+    # unknown decoder modes are rejected
     import pytest as _pt
-    with _pt.raises(NotImplementedError):
-        MediaDecoder(decoder="real")
+    with _pt.raises(ValueError):
+        MediaDecoder(decoder="nonsense")
 
 
 def test_pagination_cursor(store):
