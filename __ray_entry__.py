@@ -55,6 +55,14 @@ def _kg_doc_summary(sf_dir: str):
 _store_cache: dict[str, str] = {}
 
 
+def _store_dir(sf_dir: str) -> str:
+    """DETERMINISTIC store path per fixture size — the DuckDB oracle for
+    kg_affected_versions reads these parquet files by this exact path,
+    so it must not depend on mkdtemp randomness or build order."""
+    n = _PAGES_PER_SF.get(os.path.basename(os.path.normpath(sf_dir)), 512)
+    return os.path.join(tempfile.gettempdir(), f"guacray_store_{n}")
+
+
 def _kg_store(sf_dir: str):
     """Materialized GraphStore over the fixture's kg tables (built once
     per process — the read-side query surface needs tables on disk)."""
@@ -65,7 +73,7 @@ def _kg_store(sf_dir: str):
     from guacray.query.graph import GraphStore
     key = _pages_path(sf_dir)
     if key not in _store_cache:
-        d = tempfile.mkdtemp(prefix="guacray_store_")
+        d = _store_dir(sf_dir)
         write_table(_kg(sf_dir, "edges"), _os.path.join(d, "edges"),
                     schemas.EDGES)
         write_table(_kg(sf_dir, "nodes"), _os.path.join(d, "nodes"),
@@ -96,8 +104,29 @@ def _kg_partner_components(sf_dir: str):
 def _kg_affected_versions(sf_dir: str):
     """Version-range query over qualified product nodes (the "affected
     versions" vuln-analysis shape; depversion matcher on the
-    materialized qualifiers column; rows-only)."""
+    materialized qualifiers column).  SQL-checked: the DuckDB oracle
+    re-derives the range ">=2.0 <6.0" as a regexp + numeric compare
+    over the SAME nodes parquet (deterministic store path)."""
     return _kg_store(sf_dir).nodes_in_version_range(">=2.0 <6.0")
+
+
+def _kg_affected_versions_sql() -> str:
+    """DuckDB oracle for the version-range matcher.  Product versions in
+    this corpus always have >= 2 dotted components (VERSION_RE), so
+    '>=2.0 <6.0' reduces to major in [2, 5] — exactly
+    ``range_includes``'s tuple compare on these inputs.  The oracle
+    reads the SAME materialized nodes table (path is deterministic per
+    fixture size); the engine side under test is the distributed range
+    scan, the SQL re-derives the match from the raw qualifier string."""
+    nodes_glob = os.path.join(_store_dir("sf0.01"), "nodes", "*.parquet")
+    return f"""
+        SELECT node_id, node_key, node_type, name, qualifiers
+        FROM read_parquet('{nodes_glob}')
+        WHERE node_type = 'product'
+          AND COALESCE(TRY_CAST(split_part(
+                regexp_extract(qualifiers, 'version=([0-9.]+)', 1),
+                '.', 1) AS INTEGER), -1) BETWEEN 2 AND 5
+    """
 
 
 def _kg_edge_props(sf_dir: str):
@@ -195,4 +224,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from guacray.pipelines.relational import SQL
-    return dict(SQL)
+    out = dict(SQL)
+    # kg_affected_versions' oracle reads the materialized nodes table at
+    # its deterministic path — make sure it exists regardless of the
+    # order the driver evaluates queries vs oracles (Ray is already
+    # initialised by the driver per the module contract)
+    try:
+        _kg_store("sf0.01")
+        out["kg_affected_versions"] = _kg_affected_versions_sql()
+    except Exception:
+        pass  # no Ray session / no fixture: stay rows-only for this one
+    return out
