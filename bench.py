@@ -38,6 +38,36 @@ def _sf_name() -> str:
     return os.path.basename(os.path.normpath(SF_DIR))
 
 
+# Self-defence against noisy bench windows (BENCH_r02 printed a fake
+# 4.5× regression that was pure machine load): every run emits the host
+# loadavg and a fixed single-threaded calibration probe whose quiet-
+# window cost is known, so a reader can normalize any window.
+CALIB_REF_SEC = 0.36  # min-of-5 on a quiet window (loadavg ~2), 2026-08-17
+
+
+def calibration_probe() -> float:
+    """Fixed CPU workload: blake2b over 256 MB in 1 MB chunks, single
+    threaded, no allocation churn.  Quiet-window cost ≈ CALIB_REF_SEC;
+    the ratio sec/CALIB_REF_SEC estimates the contention factor of the
+    window the bench ran in."""
+    import hashlib
+    buf = b"\xab" * (1 << 20)
+    t0 = time.perf_counter()
+    h = hashlib.blake2b()
+    for _ in range(256):
+        h.update(buf)
+    h.digest()
+    return time.perf_counter() - t0
+
+
+def _window_fields(prefix: str = "") -> dict:
+    calib = min(calibration_probe() for _ in range(2))
+    return {
+        f"{prefix}loadavg": [round(x, 2) for x in os.getloadavg()],
+        f"{prefix}calibration_sec": round(calib, 3),
+    }
+
+
 def run_bench() -> dict:
     import ray
     ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
@@ -67,11 +97,14 @@ def run_bench() -> dict:
     # ---- headline: KG end-to-end (read → ... → materialized tables)
     # warm run discarded (worker/actor spawn, page cache — BASELINE.md
     # protocol), second run reported
+    window_before = _window_fields("before_")
+
     out_dir = f"/tmp/guacray_bench/kg_out_{NCPU}"
     shutil.rmtree(out_dir, ignore_errors=True)
     run_kg(pages_dir, out_dir)
     kg_sec = float("inf")
-    for _ in range(3):  # min over repeats damps scheduler/OS noise
+    repeats = int(os.environ.get("GRAFT_KG_REPEATS", "5"))
+    for _ in range(repeats):  # min over repeats damps scheduler/OS noise
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         counts = run_kg(pages_dir, out_dir)
@@ -106,7 +139,16 @@ def run_bench() -> dict:
         "triples_per_sec": round(counts["triples"] / kg_sec, 1),
         "pages_per_sec": round(n_pages / kg_sec, 1),
         "ray_version": ray.__version__,
+        "kg_repeats": repeats,
+        "calibration_ref_sec": CALIB_REF_SEC,
+        **window_before,
+        **_window_fields("after_"),
     }
+    # contention factor of the worse half of the window: >1.5 means the
+    # numbers above are load-noise suspects (see BASELINE.md protocol)
+    result["window_contention"] = round(
+        max(result["before_calibration_sec"],
+            result["after_calibration_sec"]) / CALIB_REF_SEC, 2)
     ray.shutdown()
     return result
 
@@ -121,8 +163,12 @@ def run_scaling() -> dict:
         _PAGES_FOR_SF.get(_sf_name(), 4096)))
 
     def run_at(ncpu: int) -> dict:
+        # 3 in-process repeats × 2 interleaved rounds = min-of-6 per
+        # level (the round-2 protocol); the single-run bench defaults
+        # to min-of-5 instead
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_PAGES=str(scaling_pages))
+                   GRAFT_BENCH_PAGES=str(scaling_pages),
+                   GRAFT_KG_REPEATS=os.environ.get("GRAFT_KG_REPEATS", "3"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
@@ -171,6 +217,11 @@ def run_scaling() -> dict:
         "speedup": round(tput_hi / tput_lo, 2),
         "scaling_efficiency": round(eff, 3),
         "sf": lo["sf"], "n_pages": lo["n_pages"],
+        "calibration_ref_sec": CALIB_REF_SEC,
+        "window_contention_8": lo.get("window_contention"),
+        "window_contention_32": hi.get("window_contention"),
+        "loadavg_8": lo.get("before_loadavg"),
+        "loadavg_32": hi.get("before_loadavg"),
     }
 
 

@@ -77,6 +77,26 @@ def write_table(ds, out_dir: str, empty_schema=None,
     shutil.rmtree(old, ignore_errors=True)
 
 
+def read_parquet_fast(path_or_paths, **kwargs):
+    """``read_parquet`` without the decoding-size sampling pass.
+
+    Ray's parquet planner READS sample files at ``read_parquet()`` call
+    time to estimate in-memory block size — 3-7 s of driver-side serial
+    constant on a 512-shard input, paid identically at every
+    parallelism level (it was the single largest non-scaling term in
+    the 8→32 study).  The KG pipeline's inputs are its own uniform
+    small shards (pages fixture, compacted triples checkpoint), so
+    on-disk size is a fine block-sizing proxy; skip the sampling."""
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    old = ctx.decoding_size_estimation
+    ctx.decoding_size_estimation = False
+    try:
+        return rd.read_parquet(path_or_paths, **kwargs)
+    finally:
+        ctx.decoding_size_estimation = old
+
+
 def linked_triples(pages_ds, alias_ref=None, link_concurrency=None):
     """pages Dataset → linked + content-id'd triples Dataset.
 
@@ -153,7 +173,7 @@ def run_kg(pages_path: str, out_dir: str, *, num_buckets: int | None = None,
     (parquet footers, no extra Ray job).
     """
     alias_ref = broadcast_alias_map(seed)
-    pages = rd.read_parquet(pages_path)
+    pages = read_parquet_fast(pages_path)
     triples = linked_triples(pages, alias_ref, link_concurrency)
     tri_dir = os.path.join(out_dir, "triples")
     # checkpoint mode (env GUACRAY_CHECKPOINT overrides):
@@ -167,15 +187,16 @@ def run_kg(pages_path: str, out_dir: str, *, num_buckets: int | None = None,
     #            at interactive scales; measured +48% at 8 CPUs where
     #            the IO round-trip dominates).
     mode = checkpoint_mode or os.environ.get("GUACRAY_CHECKPOINT", "disk")
+    from ..stages.canonicalize import CANON_COLS, graph_tables
     if mode == "mem":
         tri = triples.materialize()
         write_table(tri, tri_dir, schemas.TRIPLES, min_rows_per_file=200_000)
     else:
         write_table(triples, tri_dir, schemas.TRIPLES,
                     min_rows_per_file=200_000)
-        tri = rd.read_parquet(tri_dir)
-
-    from ..stages.canonicalize import graph_tables
+        # pruned re-read: the exchange never touches url/document_ref/
+        # raw surfaces — those columns stay on disk for evidence_view
+        tri = read_parquet_fast(tri_dir, columns=CANON_COLS)
     nodes, edges = graph_tables(tri, num_buckets)
     write_table(nodes, os.path.join(out_dir, "nodes"), schemas.NODES)
     # per-predicate hive partitioning (SURVEY §7.1 step 6) lets
@@ -248,7 +269,8 @@ def run_kg_resumable(pages_files: list[str], out_dir: str, *,
     # read_parquet expands a single dir, but a LIST of paths must be files
     part_files = [os.path.join(d, f) for d in part_dirs
                   for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
-    tri = rd.read_parquet(part_files)
+    from ..stages.canonicalize import CANON_COLS
+    tri = read_parquet_fast(part_files, columns=CANON_COLS)
     counts = {}
     write_table(nodes_table(tri, num_buckets), os.path.join(out_dir, "nodes"),
                 schemas.NODES)

@@ -39,6 +39,14 @@ from .agg import agg_by_name
 
 DEFAULT_BUCKETS = 32
 
+# the columns the canonicalization exchange actually consumes — readers
+# of the triples checkpoint should prune to these (url / document_ref /
+# raw surfaces stay on disk for the evidence view only)
+CANON_COLS = ["subj_id", "obj_id", "edge_id",
+              "subj_key", "subj_type", "subj_name",
+              "obj_key", "obj_type", "obj_name",
+              "predicate", "props", "warc_ts"]
+
 
 def resolve_buckets(num_buckets: int | None) -> int:
     """Shuffle parallelism: scales with the cluster (2×CPUs, min 32).
@@ -64,18 +72,50 @@ def _exchange(partials, merge_fn, num_buckets: int):
     ``num_buckets`` blocks first — the sort shuffle moves #map-blocks ×
     #reduce-blocks objects, so feeding it hundreds of tiny combiner
     outputs costs more than the sort itself (measured 5× on 550k rows).
+
+    The coalesce is SKIPPED when the input already has at most
+    ~2×num_buckets blocks (e.g. a compacted checkpoint read): there the
+    repartition is a full extra pass over the partial rows for nothing.
     """
-    coalesced = partials.repartition(num_buckets)
-    return coalesced.groupby("bucket").map_groups(merge_fn,
-                                                  batch_format="pyarrow")
+    try:
+        n_blocks = partials.num_blocks()
+    except Exception:
+        n_blocks = None
+    if n_blocks is None or n_blocks > 2 * num_buckets:
+        partials = partials.repartition(num_buckets)
+    return partials.groupby("bucket").map_groups(merge_fn,
+                                                 batch_format="pyarrow")
 
 
 def _bucket_of(ids: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
-    """Deterministic shuffle bucket from the first 8 hex chars of an id."""
-    return pa.array(
-        [int(h[:8], 16) % num_buckets for h in ids.to_pylist()],
-        type=pa.int32(),
-    )
+    """Deterministic shuffle bucket from an id column — vectorized
+    (pandas siphash with a fixed key, stable across runs/processes);
+    this runs on every combiner output row, so a Python int(h[:8],16)
+    loop here was the exchange's main per-row residue."""
+    import numpy as np
+    import pandas as pd
+    h = pd.util.hash_array(ids.to_numpy(zero_copy_only=False))
+    return pa.array((h % num_buckets).astype(np.int32), type=pa.int32())
+
+
+# Worker-level content-id memo caches: identity hashes are pure
+# functions of their key strings, and web-corpus keys repeat heavily
+# (head entities; edges average many evidence rows per identity), so
+# memoizing turns ~3 blake2b calls per triple into ~3 dict hits.
+# Bounded: cleared when they outgrow the cap (keys are unbounded only
+# in adversarial inputs; canonical key cardinality ≪ triple count).
+_ID_CACHE_CAP = 1_000_000
+_node_id_cache: dict[str, str] = {}
+_edge_id_cache: dict[tuple, str] = {}
+
+
+def _node_id_memo(key: str) -> str:
+    nid = _node_id_cache.get(key)
+    if nid is None:
+        if len(_node_id_cache) >= _ID_CACHE_CAP:
+            _node_id_cache.clear()
+        nid = _node_id_cache[key] = _node_id(key)
+    return nid
 
 
 def add_ids_batch(batch: pa.Table) -> pa.Table:
@@ -85,8 +125,8 @@ def add_ids_batch(batch: pa.Table) -> pa.Table:
     prop-distinct statements stay distinct edges (assembler InputSpec
     identity, keyvalue/isDependency.go:46-56)."""
     from ..functions.text import SYMMETRIC_PREDICATES
-    subj_ids = [_node_id(k) for k in batch["subj_key"].to_pylist()]
-    obj_ids = [_node_id(k) for k in batch["obj_key"].to_pylist()]
+    subj_ids = [_node_id_memo(k) for k in batch["subj_key"].to_pylist()]
+    obj_ids = [_node_id_memo(k) for k in batch["obj_key"].to_pylist()]
     preds = batch["predicate"].to_pylist()
     props = (batch["props"].to_pylist() if "props" in batch.column_names
              else [""] * batch.num_rows)
@@ -95,10 +135,17 @@ def add_ids_batch(batch: pa.Table) -> pa.Table:
     # (assembler.go:84 equal-edge semantics).  The triple row keeps
     # statement order (provenance); the edges-table combiner
     # (_edge_partial_batch) normalizes the stored orientation.
-    eids = [_edge_id(o, p, s, pr)
-            if p in SYMMETRIC_PREDICATES and o < s
-            else _edge_id(s, p, o, pr)
-            for s, p, o, pr in zip(subj_ids, preds, obj_ids, props)]
+    ecache = _edge_id_cache
+    if len(ecache) >= _ID_CACHE_CAP:
+        ecache.clear()
+    eids = []
+    for s, p, o, pr in zip(subj_ids, preds, obj_ids, props):
+        ek = (o, p, s, pr) if p in SYMMETRIC_PREDICATES and o < s \
+            else (s, p, o, pr)
+        eid = ecache.get(ek)
+        if eid is None:
+            eid = ecache[ek] = _edge_id(*ek)
+        eids.append(eid)
     batch = batch.append_column("subj_id", pa.array(subj_ids, type=pa.string()))
     batch = batch.append_column("obj_id", pa.array(obj_ids, type=pa.string()))
     batch = batch.append_column("edge_id", pa.array(eids, type=pa.string()))
@@ -289,11 +336,7 @@ def edges_table(linked_ds, num_buckets: int | None = None):
 
 
 def _bucket_of_str(vals, num_buckets: int) -> pa.Array:
-    import hashlib
-    return pa.array(
-        [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=4)
-                        .digest(), "big") % num_buckets
-         for s in vals.to_pylist()], type=pa.int32())
+    return _bucket_of(vals, num_buckets)
 
 
 def document_summary(linked_ds, num_buckets: int | None = None):

@@ -213,20 +213,21 @@ def alias_dataset(seed: int = 42):
 
 
 def default_pool_size() -> tuple[int, int]:
-    """Autoscaling actor-pool bounds sized to the cluster.
+    """Actor-pool bounds sized to the cluster: FIXED at cpus-2.
 
-    min=1 so the pool can never starve downstream task operators of
-    CPUs (a FIXED pool of size == cluster CPUs deadlocks the streaming
-    executor: actors hold every slot, the write/shuffle tasks wait
-    forever).  max leaves 2 CPUs of headroom for read/write stages.
+    Round-3 measurement (1M pages, interleaved min-of-2 in one
+    session): the autoscaling (cpus/2, cpus-2) pool loses 12-17% at
+    both 8 and 32 CPUs to ramp lag — the autoscaler adds actors lazily
+    while half the cluster idles.  A fixed full-size pool spawns all
+    actors up front.  The 2-CPU headroom is the deadlock guard: a pool
+    == cluster size starves the downstream write tasks forever
+    (round-1 measurement); 2 free slots keep writes draining, and the
+    write tail after the last actor batch gets the whole cluster.
     """
     import ray
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    # min = half the cluster: the autoscaler ramps from `min`, and a
-    # min of 1 leaves 31 CPUs idle for the first seconds of every run;
-    # max leaves 2 CPUs of headroom so downstream task operators can
-    # always make progress (a pool == cluster size deadlocks).
-    return (max(1, cpus // 2), max(2, cpus - 2))
+    n = max(2, cpus - 2)
+    return (n, n)
 
 
 def link(ds, alias_ref=None, concurrency=None, batch_size: int = 512):
