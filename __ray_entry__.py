@@ -78,6 +78,10 @@ def _kg_store(sf_dir: str):
                     schemas.EDGES)
         write_table(_kg(sf_dir, "nodes"), _os.path.join(d, "nodes"),
                     schemas.NODES)
+        # the triples checkpoint doubles as the independent input the
+        # DuckDB oracles re-derive the canonical tables from
+        write_table(_kg(sf_dir, "triples"), _os.path.join(d, "triples"),
+                    schemas.TRIPLES)
         _store_cache[key] = d
     return GraphStore(_store_cache[key])
 
@@ -108,6 +112,90 @@ def _kg_affected_versions(sf_dir: str):
     re-derives the range ">=2.0 <6.0" as a regexp + numeric compare
     over the SAME nodes parquet (deterministic store path)."""
     return _kg_store(sf_dir).nodes_in_version_range(">=2.0 <6.0")
+
+
+def _kg_oracles() -> dict[str, str]:
+    """DuckDB oracles for the KG query surface.
+
+    Strategy: the triples CHECKPOINT (one row per extracted statement,
+    pre-dedup) is the independent input; each oracle re-derives the
+    canonical table / analytic result with plain SQL over it, so the
+    thing under test is exactly the engine's distributed aggregation /
+    dedup / join machinery.  All attrs are pure functions of their key
+    (content-hash identity), so MIN() reproduces first-wins exactly.
+    Store paths are deterministic per fixture size (``_store_dir``)."""
+    d = _store_dir("sf0.01")
+    tri = os.path.join(d, "triples", "*.parquet")
+    edg = os.path.join(d, "edges", "*.parquet")
+    from guacray.functions.text import SYMMETRIC_PREDICATES
+    sym = ", ".join(f"'{p}'" for p in sorted(SYMMETRIC_PREDICATES))
+    return {
+        # nodes = first-wins dedup of the union of both statement sides
+        # (assembler.go:196-308); qualifiers = 3rd '::' segment of key
+        "kg_nodes": f"""
+            WITH sides AS (
+                SELECT subj_id AS node_id, subj_key AS node_key,
+                       subj_type AS node_type, subj_name AS name
+                FROM read_parquet('{tri}')
+                UNION ALL
+                SELECT obj_id, obj_key, obj_type, obj_name
+                FROM read_parquet('{tri}'))
+            SELECT node_id, MIN(node_key) AS node_key,
+                   MIN(node_type) AS node_type, MIN(name) AS name,
+                   COALESCE(str_split(MIN(node_key), '::')[3], '')
+                       AS qualifiers
+            FROM sides GROUP BY node_id
+        """,
+        # edges = content-key dedup w/ evidence count, symmetric
+        # predicates stored in canonical min-id orientation
+        "kg_edges": f"""
+            SELECT edge_id,
+                   MIN(CASE WHEN predicate IN ({sym}) AND obj_id < subj_id
+                            THEN obj_id ELSE subj_id END) AS subj_id,
+                   MIN(predicate) AS predicate,
+                   MIN(CASE WHEN predicate IN ({sym}) AND obj_id < subj_id
+                            THEN subj_id ELSE obj_id END) AS obj_id,
+                   MIN(props) AS props,
+                   MIN(warc_ts) AS first_seen,
+                   COUNT(*) AS n_evidence,
+                   MIN(predicate) IN ({sym}) AS undirected
+            FROM read_parquet('{tri}') GROUP BY edge_id
+        """,
+        "kg_identifiers": f"""
+            WITH s AS (
+                SELECT subj_surface AS surface FROM read_parquet('{tri}')
+                UNION ALL
+                SELECT obj_surface FROM read_parquet('{tri}'))
+            SELECT surface, COUNT(*) AS n_mentions FROM s GROUP BY surface
+        """,
+        "kg_document_summary": f"""
+            SELECT document_ref, MIN(url) AS url,
+                   MIN(warc_ts) AS first_ts,
+                   COUNT(*) AS n_triples,
+                   COUNT(DISTINCT edge_id) AS n_distinct_edges
+            FROM read_parquet('{tri}') GROUP BY document_ref
+        """,
+        "kg_edge_props": f"""
+            SELECT predicate, props, COUNT(DISTINCT edge_id) AS n_edges
+            FROM read_parquet('{tri}')
+            WHERE props <> '' GROUP BY predicate, props
+        """,
+        # the 3-hop chain re-derived as a DuckDB self-join over the
+        # canonical edges (searchForSBOM shape); props filter matches
+        # edges_with_prop's '&'-padded needle
+        "kg_chain_3hop": f"""
+            SELECT e1.subj_id AS n0, e1.obj_id AS n1,
+                   e2.obj_id AS n2, e3.obj_id AS n3
+            FROM read_parquet('{edg}') e1
+            JOIN read_parquet('{edg}') e2 ON e2.subj_id = e1.obj_id
+            JOIN read_parquet('{edg}') e3 ON e3.subj_id = e2.obj_id
+            WHERE e1.predicate = 'works_at'
+              AND e2.predicate = 'acquired'
+              AND e3.predicate = 'released'
+              AND ('&' || e3.props || '&') LIKE '%&version=%'
+        """,
+        "kg_affected_versions": _kg_affected_versions_sql(),
+    }
 
 
 def _kg_affected_versions_sql() -> str:
@@ -225,13 +313,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from guacray.pipelines.relational import SQL
     out = dict(SQL)
-    # kg_affected_versions' oracle reads the materialized nodes table at
-    # its deterministic path — make sure it exists regardless of the
-    # order the driver evaluates queries vs oracles (Ray is already
-    # initialised by the driver per the module contract)
+    # the KG oracles read the materialized store tables at their
+    # deterministic paths — build the sf0.01 store up front so the
+    # checks pass regardless of the order the driver evaluates queries
+    # vs oracles (Ray is already initialised by the driver per the
+    # module contract)
     try:
         _kg_store("sf0.01")
-        out["kg_affected_versions"] = _kg_affected_versions_sql()
+        out.update(_kg_oracles())
     except Exception:
-        pass  # no Ray session / no fixture: stay rows-only for this one
+        pass  # no Ray session / no fixture: stay rows-only for these
     return out

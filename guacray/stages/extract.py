@@ -78,13 +78,10 @@ def identifier_strings(triples_ds, num_buckets: int | None = None):
             pa.table({"surface": batch["obj_surface"]}),
         ])
         from .agg import agg_by_name
+        from .canonicalize import _bucket_of
         agg = agg_by_name(t, ["surface"], [("surface", "count", "n_mentions")])
-        import hashlib
-        bucket = pa.array(
-            [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=4)
-                            .digest(), "big") % num_buckets
-             for s in agg["surface"].to_pylist()], type=pa.int32())
-        return agg.append_column("bucket", bucket)
+        return agg.append_column(
+            "bucket", _bucket_of(agg["surface"], num_buckets))
 
     def merge(group: pa.Table) -> pa.Table:
         from .agg import agg_by_name
