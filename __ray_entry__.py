@@ -194,6 +194,34 @@ def _kg_oracles() -> dict[str, str]:
               AND e3.predicate = 'released'
               AND ('&' || e3.props || '&') LIKE '%&version=%'
         """,
+        # evidence = one row per extracted statement keyed by edge —
+        # thin (a projection of the checkpoint) but pins the evidence
+        # materialization to the checkpoint contents exactly
+        "kg_evidence": f"""
+            SELECT edge_id, document_ref, url, warc_ts
+            FROM read_parquet('{tri}')
+        """,
+        # connected components over the undirected partnered_with
+        # predicate, re-derived as a recursive transitive closure:
+        # component label = MIN reachable node_id (exactly the
+        # min-label-propagation fixpoint the engine computes)
+        "kg_partner_components": f"""
+            WITH RECURSIVE und AS (
+                SELECT subj_id AS a, obj_id AS b
+                FROM read_parquet('{edg}') WHERE predicate = 'partnered_with'
+                UNION
+                SELECT obj_id, subj_id
+                FROM read_parquet('{edg}') WHERE predicate = 'partnered_with'
+            ), reach(node_id, lab) AS (
+                SELECT a, a FROM und
+                UNION
+                SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node_id
+            ), comp AS (
+                SELECT node_id, MIN(lab) AS component
+                FROM reach GROUP BY node_id)
+            SELECT component, COUNT(*) AS n_members
+            FROM comp GROUP BY component
+        """,
         "kg_affected_versions": _kg_affected_versions_sql(),
     }
 
@@ -293,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup sketches (rows-only; correctness in pytest)
         "doc_minhash_pairs": R.doc_minhash_pairs,
         "doc_simhash_pairs": R.doc_simhash_pairs,
+        "doc_jaccard_pairs": R.doc_jaccard_pairs,
         "doc_lang_id": R.doc_lang_id,
         "doc_winnow": R.doc_winnow,
         # flagship KG pipeline (rows-only; golden parity in pytest)

@@ -31,7 +31,8 @@ from ..functions.rounding import pc_round
 from ..stages.agg import (auto_join, grouped_agg, semi_join,
                           semi_join_filter, topk)
 from ..stages.ann import brute_force_topk, lsh_topk, make_query_vector
-from ..stages.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
+from ..stages.dedup import (exact_dedup, jaccard_pairs, minhash_lsh_pairs,
+                            simhash_pairs)
 from ..stages.quality import (lang_id, norm_fingerprint, quality_scores,
                               token_counts, winnow_fingerprints)
 
@@ -362,23 +363,49 @@ def events_sliding_avg(sf_dir: str, window_s: int = 3600,
         batch_format="pyarrow")
 
     def roll(df: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.rounding import round_half_away
+        from ..functions.rounding import np_round_half_away
+        if df.empty:
+            return df.assign(avg_1h=0.0)[["event_id", "user_id", "avg_1h"]]
         df = df.sort_values(["user_id", "ts", "event_id"])
-        out = []
-        for _, g in df.groupby("user_id", sort=False):
-            # aggregate per DISTINCT ts first so equal-timestamp peers
-            # are all inside each other's window (SQL RANGE frame
-            # semantics: peers included; pandas row-order rolling would
-            # exclude later peers)
-            per_ts = g.groupby("ts")["value"].agg(["sum", "count"])
-            rs = per_ts["sum"].rolling(f"{window_s}s", closed="both").sum()
-            rc = per_ts["count"].rolling(f"{window_s}s", closed="both").sum()
-            avg_ts = rs / rc
-            gg = g.copy()
-            gg["avg_1h"] = [round_half_away(v, 4)
-                            for v in avg_ts.loc[gg["ts"]].to_numpy()]
-            out.append(gg[["event_id", "user_id", "avg_1h"]])
-        return pd.concat(out, ignore_index=True)
+        # aggregate per DISTINCT (user, ts) first so equal-timestamp
+        # peers are all inside each other's window (SQL RANGE frame
+        # semantics: peers included), then ONE vectorized two-pointer
+        # pass over every user at once: offset each user's timestamps
+        # into disjoint integer ranges so a single searchsorted yields
+        # every trailing-window start — no Python-per-user loop.
+        per = (df.groupby(["user_id", "ts"], sort=True)["value"]
+                 .agg(["sum", "count"]).reset_index())
+        ts = per["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        win = np.int64(window_s) * 1_000_000
+        uid = per["user_id"].to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new_user)
+        urank = np.cumsum(new_user) - 1
+        span = ts.max() - ts.min() + np.int64(1)
+        key = urank.astype(np.int64) * (span + win) + (ts - ts.min())
+        left = np.searchsorted(key, key - win, side="left")
+        left = np.maximum(left, starts[urank])  # never cross a user
+        # window sums must be EXACT or 4-dp rounding can flip at
+        # midpoints: values are fixed-point decimals, so integer
+        # cumsums carry no float error (fall back to extended precision
+        # for genuinely fractional inputs)
+        sums = per["sum"].to_numpy()
+        scaled = sums * 100.0
+        idx = np.arange(len(per)) + 1
+        if np.allclose(scaled, np.rint(scaled), atol=1e-6):
+            cs = np.concatenate(
+                [[0], np.cumsum(np.rint(scaled).astype(np.int64))])
+            num = (cs[idx] - cs[left]) / 100.0
+        else:
+            cs = np.concatenate(
+                [[0], np.cumsum(sums, dtype=np.longdouble)])
+            num = (cs[idx] - cs[left]).astype(np.float64)
+        cc = np.concatenate(
+            [[0], np.cumsum(per["count"].to_numpy(dtype=np.int64))])
+        per["avg_1h"] = np_round_half_away(num / (cc[idx] - cc[left]), 4)
+        out = df.merge(per[["user_id", "ts", "avg_1h"]],
+                       on=["user_id", "ts"], how="left")
+        return out[["event_id", "user_id", "avg_1h"]]
 
     return ds.groupby("bucket").map_groups(roll, batch_format="pandas")
 
@@ -605,6 +632,14 @@ def doc_minhash_pairs(sf_dir: str):
 def doc_simhash_pairs(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return simhash_pairs(ds)
+
+
+def doc_jaccard_pairs(sf_dir: str):
+    """EXACT word-3-gram Jaccard similarity join (prefix-filtered
+    AllPairs) — unlike the MinHash/SimHash approximations this one is
+    value-for-value SQL-checkable."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return jaccard_pairs(ds, threshold=0.5)
 
 
 def doc_lang_id(sf_dir: str):
@@ -966,6 +1001,29 @@ SQL: dict[str, str] = {
         SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
                count(*) AS n_copies
         FROM documents GROUP BY md5(text)
+    """,
+    # exact all-pairs 3-gram Jaccard (O(n²) is fine at oracle scale;
+    # the engine side prunes with prefix filtering, which has perfect
+    # recall, so the two must agree value for value).
+    # regexp_extract_all('\S+') == Python str.split() tokenization.
+    "doc_jaccard_pairs": r"""
+        WITH sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+                            generate_series(1, len(w) - 2),
+                            i -> array_to_string(w[i:i+2], ' ')))
+                        ELSE [array_to_string(w, ' ')] END AS s
+            FROM (SELECT doc_id,
+                         regexp_extract_all(lower(text), '\S+') AS w
+                  FROM documents)
+            WHERE len(w) > 0
+        ), cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.s, b.s)) AS i,
+                   len(a.s) AS na, len(b.s) AS nb
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, round(i * 1.0 / (na + nb - i), 6) AS jaccard
+        FROM cand WHERE i * 1.0 / (na + nb - i) >= 0.5
     """,
     "doc_token_counts": r"""
         SELECT doc_id,

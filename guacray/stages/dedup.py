@@ -345,3 +345,147 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
         return 1.0
     inter = len(a & b)
     return inter / (len(a) + len(b) - inter)
+
+
+def jaccard_pairs(ds, *, threshold: float = 0.5, shingle_k: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """EXACT n-gram-Jaccard similarity join via prefix filtering.
+
+    The AllPairs family (Bayardo, Ma, Srikant, "Scaling Up All Pairs
+    Similarity Search", WWW 2007): fix ANY global total order over
+    shingle tokens (here: the token's stable 64-bit hash — frequency
+    order is only a candidate-count optimization, correctness needs
+    just a total order), sort each doc's shingle set by it, and emit
+    only the PREFIX — the first ``n - ceil(t*n) + 1`` tokens — as
+    bucket keys.  Any pair with J >= t has overlap >= ceil(t*max(n_a,
+    n_b)) (because |a∩b| = J·|a∪b| >= t·max(n_a, n_b)), so the two
+    prefixes must share a token: bucket-grouping has PERFECT recall.
+    Candidates are then verified with exact set Jaccard, making the
+    result identical to the O(n²) all-pairs answer (modulo 64-bit
+    shingle-hash collisions) — unlike MinHash/SimHash this operator is
+    SQL-oracle-checkable value for value.
+
+    Scale shape: prefix explode emits ~(1-t)·|shingles| narrow rows per
+    doc; the within-bucket pairing applies the length filter
+    (t·n_a <= n_b <= n_a/t) before emitting.  Exact-duplicate
+    mega-clusters share every prefix token, so compose with
+    ``exact_dedup`` upstream (as ``curate`` does) — the standard
+    AllPairs deployment.  Verification joins are size-aware
+    (``auto_join``: broadcast below threshold, hash join above).
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard exact,
+    rounded half-away to 6 dp for oracle parity.
+    """
+    import math
+
+    from .agg import auto_join
+
+    def shingle_sign(batch: pa.Table) -> pa.Table:
+        ids, hs_list, ns = [], [], []
+        for did, text in zip(batch[id_col].to_pylist(),
+                             batch[text_col].to_pylist()):
+            sh = _word_shingles(text, shingle_k)
+            if not sh:
+                continue
+            # signed view: survives the pandas round-trip inside
+            # auto_join (object-int lists >= 2^63 break arrow
+            # inference); the int64 sort order is a different — but
+            # still fixed — total order, which is all prefix filtering
+            # needs
+            hs = np.unique(np.array([_stable_hash64(s) for s in sh],
+                                    dtype=np.uint64).view(np.int64))
+            ids.append(did)
+            hs_list.append(hs)
+            ns.append(len(hs))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "hs": pa.array([h.tolist() for h in hs_list],
+                           type=pa.list_(pa.int64())),
+            "n": pa.array(ns, type=pa.int64()),
+        })
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        toks, ids, ns = [], [], []
+        for did, hs, n in zip(batch["doc_id"].to_pylist(),
+                              batch["hs"].to_pylist(),
+                              batch["n"].to_pylist()):
+            plen = n - math.ceil(threshold * n) + 1
+            for t in hs[:plen]:
+                toks.append(t)
+                ids.append(did)
+                ns.append(n)
+        return pa.table({
+            "token": pa.array(toks, type=pa.int64()),
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n": pa.array(ns, type=pa.int64()),
+        })
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        out_a, out_b = [], []
+        for _, g in df.groupby("token", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values(["n", "doc_id"])
+            ids = g["doc_id"].to_numpy()
+            ns = g["n"].to_numpy()
+            # length filter: J >= t needs n_b <= n_a / t; rows sorted
+            # by n, so each row pairs with a contiguous run ahead
+            hi = np.searchsorted(ns, np.floor(ns / threshold), side="right")
+            for i in range(len(g)):
+                for j in range(i + 1, hi[i]):
+                    a, b = ids[i], ids[j]
+                    if a == b:
+                        continue
+                    out_a.append(min(a, b))
+                    out_b.append(max(a, b))
+        return pa.table({
+            "doc_a": pa.array(out_a, type=pa.int64()),
+            "doc_b": pa.array(out_b, type=pa.int64()),
+        })
+
+    def pair_dedup(group: pa.Table) -> pa.Table:
+        return agg_by_name(group, ["doc_a", "doc_b"], [])
+
+    def verify(batch: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+        keep_a, keep_b, js = [], [], []
+        for a, b, ha, hb in zip(batch["doc_a"].to_pylist(),
+                                batch["doc_b"].to_pylist(),
+                                batch["__ha"].to_pylist(),
+                                batch["__hb"].to_pylist()):
+            inter = np.intersect1d(
+                np.asarray(ha, dtype=np.int64),
+                np.asarray(hb, dtype=np.int64),
+                assume_unique=True).size
+            j = inter / (len(ha) + len(hb) - inter)
+            if j >= threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+                js.append(round_half_away(j, 6))
+        return pa.table({
+            "doc_a": pa.array(keep_a, type=pa.int64()),
+            "doc_b": pa.array(keep_b, type=pa.int64()),
+            "jaccard": pa.array(js, type=pa.float64()),
+        })
+
+    nb = resolve_buckets_pow2()
+    sigs = ds.map_batches(shingle_sign, batch_format="pyarrow").materialize()
+    pref = sigs.map_batches(prefix_rows, batch_format="pyarrow")
+    pref = pref.map_batches(lambda t: t.append_column(
+        "bucket", pc.cast(pc.bit_wise_and(t["token"], nb - 1), pa.int32())),
+        batch_format="pyarrow")
+    cand = pref.repartition(nb).groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    cand = cand.map_batches(lambda t: t.append_column(
+        "bucket", pc.cast(pc.bit_wise_and(t["doc_a"], nb - 1), pa.int32())),
+        batch_format="pyarrow")
+    cand = cand.repartition(nb).groupby("bucket").map_groups(
+        pair_dedup, batch_format="pyarrow")
+    cand = auto_join(cand, sigs.map_batches(
+        lambda t: pa.table({"__a": t["doc_id"], "__ha": t["hs"]}),
+        batch_format="pyarrow"), on="doc_a", right_on="__a")
+    cand = auto_join(cand, sigs.map_batches(
+        lambda t: pa.table({"__b": t["doc_id"], "__hb": t["hs"]}),
+        batch_format="pyarrow"), on="doc_b", right_on="__b")
+    return cand.map_batches(verify, batch_format="pyarrow")

@@ -64,6 +64,41 @@ def test_simhash_pairs_finds_near_dups():
     assert (0, 2) not in got and (1, 2) not in got
 
 
+def test_jaccard_pairs_exact_vs_brute_force():
+    """Prefix-filtered AllPairs must equal the O(n²) brute-force answer
+    exactly (perfect recall + exact verification), values included."""
+    import itertools
+
+    from guacray.functions.rounding import round_half_away
+    from guacray.stages.dedup import jaccard_pairs
+    texts = [BASE, NEAR, FAR,
+             BASE.replace("quick", "fast").replace("valley", "meadow"),
+             "tiny doc", "tiny doc extra", ""]
+    for threshold in (0.3, 0.5, 0.8):
+        got = jaccard_pairs(_docs(texts), threshold=threshold).to_pandas()
+        got_set = {} if got.empty else {
+            (a, b): j for a, b, j in
+            zip(got["doc_a"], got["doc_b"], got["jaccard"])}
+        exp = {}
+        for i, j in itertools.combinations(range(len(texts)), 2):
+            if not texts[i].split() or not texts[j].split():
+                continue
+            jac = ngram_jaccard(texts[i], texts[j])
+            if jac >= threshold:
+                exp[(i, j)] = round_half_away(jac, 6)
+        assert got_set == exp, (threshold, got_set, exp)
+
+
+def test_jaccard_pairs_exact_dup_cluster():
+    from guacray.stages.dedup import jaccard_pairs
+    ds = _docs([BASE] * 5 + [FAR])
+    got = jaccard_pairs(ds, threshold=0.9).to_pandas()
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    import itertools
+    assert pairs == set(itertools.combinations(range(5), 2))
+    assert (got["jaccard"] == 1.0).all()
+
+
 def test_winnow_fingerprints_ws_invariant():
     ds = _docs([BASE, "  " + BASE.replace(" ", "   ") + " ", FAR])
     out = winnow_fingerprints(ds).to_pandas().sort_values("doc_id")
