@@ -105,6 +105,44 @@ def _kg_partner_components(sf_dir: str):
                        [("node_id", "count", "n_members")])
 
 
+def _depth_table(depth: dict):
+    import pyarrow as pa
+    ids = sorted(depth)
+    return pa.table({"node_id": pa.array(ids, type=pa.string()),
+                     "depth": pa.array([depth[i] for i in ids],
+                                       type=pa.int64())})
+
+
+def _kg_reachable(sf_dir: str):
+    """Forward BFS closure (node_id -> min depth) from a deterministic
+    seed (lexicographically first org node) — SQL-checked against a
+    recursive-CTE shortest-path derivation over the same edges."""
+    store = _kg_store(sf_dir)
+    seed = store.nodes(node_type="org").to_pandas()["node_id"].min()
+    return _depth_table(store.reachable(seed, direction="out",
+                                        max_depth=10))
+
+
+def _kg_blast_radius(sf_dir: str):
+    """Reverse BFS (dependents closure) from the first product node —
+    the SearchDependentsFromStartPackage patch-planning shape."""
+    store = _kg_store(sf_dir)
+    seed = store.nodes(node_type="product").to_pandas()["node_id"].min()
+    return _depth_table(store.reachable(seed, direction="in",
+                                        max_depth=10))
+
+
+def _kg_class_reachable(sf_dir: str):
+    """Class-aware BFS (retrieveDependencies shape): equivalence-class
+    members join the frontier at the SAME depth mid-walk.  SQL-checked:
+    this is exactly a 0/1-weighted shortest path (class edges cost 0,
+    directed edges cost 1), expressible as a recursive CTE."""
+    store = _kg_store(sf_dir)
+    seed = store.nodes(node_type="org").to_pandas()["node_id"].min()
+    return _depth_table(store.reachable_with_classes(
+        seed, direction="out", max_depth=10))
+
+
 def _kg_affected_versions(sf_dir: str):
     """Version-range query over qualified product nodes (the "affected
     versions" vuln-analysis shape; depversion matcher on the
@@ -127,6 +165,7 @@ def _kg_oracles() -> dict[str, str]:
     d = _store_dir("sf0.01")
     tri = os.path.join(d, "triples", "*.parquet")
     edg = os.path.join(d, "edges", "*.parquet")
+    nod = os.path.join(d, "nodes", "*.parquet")
     from guacray.functions.text import SYMMETRIC_PREDICATES
     sym = ", ".join(f"'{p}'" for p in sorted(SYMMETRIC_PREDICATES))
     return {
@@ -221,6 +260,59 @@ def _kg_oracles() -> dict[str, str]:
                 FROM reach GROUP BY node_id)
             SELECT component, COUNT(*) AS n_members
             FROM comp GROUP BY component
+        """,
+        # BFS closures as recursive CTEs: UNION keeps the state space
+        # bounded to (node, depth<=10) pairs; MIN(depth) per node is
+        # exactly the frontier BFS's first-reach depth
+        "kg_reachable": f"""
+            WITH RECURSIVE walk(node_id, depth) AS (
+                SELECT (SELECT MIN(node_id) FROM read_parquet('{nod}')
+                        WHERE node_type = 'org'), 0
+                UNION
+                SELECT e.obj_id, w.depth + 1
+                FROM walk w
+                JOIN read_parquet('{edg}') e ON e.subj_id = w.node_id
+                WHERE w.depth < 10)
+            SELECT node_id, CAST(MIN(depth) AS BIGINT) AS depth
+            FROM walk GROUP BY node_id
+        """,
+        "kg_blast_radius": f"""
+            WITH RECURSIVE walk(node_id, depth) AS (
+                SELECT (SELECT MIN(node_id) FROM read_parquet('{nod}')
+                        WHERE node_type = 'product'), 0
+                UNION
+                SELECT e.subj_id, w.depth + 1
+                FROM walk w
+                JOIN read_parquet('{edg}') e ON e.obj_id = w.node_id
+                WHERE w.depth < 10)
+            SELECT node_id, CAST(MIN(depth) AS BIGINT) AS depth
+            FROM walk GROUP BY node_id
+        """,
+        # class-aware BFS == 0/1-weighted shortest path: partnered_with
+        # edges cost 0 in BOTH directions (class closure at the same
+        # depth), every stored edge costs 1 in stored orientation (the
+        # 0-cost copy dominates the MIN for symmetric predicates)
+        "kg_class_reachable": f"""
+            WITH RECURSIVE wedges AS (
+                SELECT subj_id AS a, obj_id AS b, 1 AS w
+                FROM read_parquet('{edg}')
+                UNION ALL
+                SELECT subj_id, obj_id, 0
+                FROM read_parquet('{edg}')
+                WHERE predicate = 'partnered_with'
+                UNION ALL
+                SELECT obj_id, subj_id, 0
+                FROM read_parquet('{edg}')
+                WHERE predicate = 'partnered_with'
+            ), walk(node_id, depth) AS (
+                SELECT (SELECT MIN(node_id) FROM read_parquet('{nod}')
+                        WHERE node_type = 'org'), 0
+                UNION
+                SELECT e.b, w.depth + e.w
+                FROM walk w JOIN wedges e ON e.a = w.node_id
+                WHERE w.depth + e.w <= 10)
+            SELECT node_id, CAST(MIN(depth) AS BIGINT) AS depth
+            FROM walk GROUP BY node_id
         """,
         "kg_affected_versions": _kg_affected_versions_sql(),
     }
@@ -334,6 +426,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_props": _kg_edge_props,
         "kg_chain_3hop": _kg_chain_3hop,
         "kg_partner_components": _kg_partner_components,
+        "kg_reachable": _kg_reachable,
+        "kg_blast_radius": _kg_blast_radius,
+        "kg_class_reachable": _kg_class_reachable,
         "kg_affected_versions": _kg_affected_versions,
     }
     return q

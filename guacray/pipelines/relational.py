@@ -739,10 +739,11 @@ def doc_sample(sf_dir: str, fraction: float = 0.2, seed: int = 7):
 
 def media_features(sf_dir: str, n: int = 128):
     """Multimodal decode query: deterministic REAL-format media table
-    (P6 PPM / 24-bit BMP images, y4m videos) → actor-pool decode +
-    feature stage with the real pure-Python raster kernel (rows-only;
-    audio/video feature kernels stay honest stubs, surfaced via the
-    ``error`` column — see stages/multimodal.py)."""
+    (P6 PPM / 24-bit BMP images, y4m videos, PCM WAV audio) →
+    actor-pool decode + feature stage with the real pure-Python
+    kernels for all three modalities (rows-only; containers outside
+    these formats dead-letter via the ``error`` column — see
+    stages/multimodal.py)."""
     from ..stages.multimodal import (extract_media_features,
                                      synth_real_media_table)
     media = rd.from_arrow(synth_real_media_table(n))

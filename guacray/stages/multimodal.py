@@ -3,12 +3,14 @@
 Images/audio/video ride as ``binary`` columns with a metadata struct,
 processed by actor-pool ``map_batches`` stages.  Two kernel modes:
 
-``decoder="real"`` — a REAL pure-Python/numpy raster kernel for the
-image modality: PPM (P5/P6) and uncompressed 24-bit BMP decode,
-box-filter (area-average) resize, P6 re-encode.  No PIL/ffmpeg needed;
-formats the kernel does not cover dead-letter per row via the ``error``
-column.  Video frame EXTRACTION stays an honest ffmpeg slot
-(NotImplementedError at the documented line).
+``decoder="real"`` — REAL pure-Python/numpy kernels for all three
+modalities: PPM (P5/P6) and uncompressed 24-bit BMP raster decode with
+box-filter (area-average) resize and P6 re-encode; y4m (YUV4MPEG2)
+video frame decode/sampling; RIFF/WAVE PCM audio decode with a DSP
+feature summary (RMS/ZCR/log-band spectrum).  No PIL/ffmpeg needed;
+containers outside these formats (jpeg/mp3/mp4/…) dead-letter per row
+via the ``error`` column — that is the documented slot where the
+external-lib kernel would plug in.
 
 ``decoder="fake"`` — deterministic content-seeded fake decode, so the
 Ray-side plumbing (schema, batch sizing, actor lifecycle, output
@@ -225,6 +227,90 @@ def raster_features(img: np.ndarray) -> np.ndarray:
     extras = np.array([np.log1p(h * w) / 20.0, w / max(1, h)])
     return np.concatenate([means, stds, hist, extras]).astype(np.float32)
 
+# ------------------------------------------------- pure-Python audio io
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM decode via the stdlib ``wave`` module (8/16/32-bit
+    PCM, any channel count) → (mono float samples in [-1, 1],
+    sample_rate).  Compressed codecs (mp3/aac/…) need external libs and
+    dead-letter via the caller's error column."""
+    import io
+    import wave
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8)
+             .astype(np.float64) - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width: {sw}")
+    return x.reshape(-1, nch).mean(axis=1), sr
+
+
+def encode_wav(x: np.ndarray, sr: int) -> bytes:
+    """Mono float [-1, 1] → 16-bit PCM WAV bytes (fixture encoder)."""
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((np.clip(x, -1.0, 1.0) * 32767.0)
+                      .astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def audio_features(x: np.ndarray, sr: int, dim: int = 32) -> np.ndarray:
+    """Deterministic audio descriptor: duration_s, RMS, zero-crossing
+    rate, peak + (dim-4) log-spaced spectral band energies (energy-
+    normalized rfft magnitudes) — the classic cheap DSP summary, pure
+    numpy."""
+    n = len(x)
+    if n == 0:
+        return np.zeros(dim, dtype=np.float32)
+    zcr = (float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+           if n > 1 else 0.0)
+    head = np.array([n / sr, float(np.sqrt(np.mean(x * x))), zcr,
+                     float(np.max(np.abs(x)))])
+    spec = np.abs(np.fft.rfft(x))
+    nb = dim - 4
+    edges = np.geomspace(1, max(len(spec), 2), nb + 1).astype(np.int64)
+    bands = np.zeros(nb)
+    for i in range(nb):
+        lo, hi = edges[i], max(edges[i + 1], edges[i] + 1)
+        if lo < len(spec):
+            bands[i] = spec[lo:hi].mean()
+    tot = bands.sum()
+    if tot > 0:
+        bands = bands / tot
+    return np.concatenate([head, bands]).astype(np.float32)
+
+
+def video_features(frames: list[np.ndarray]) -> np.ndarray:
+    """Raster descriptor of the MEAN frame, with the two geometry
+    slots repurposed for temporal structure: log frame count and mean
+    absolute inter-frame difference (motion energy)."""
+    mean_frame = np.mean([f.astype(np.float64) for f in frames], axis=0)
+    feat = raster_features(np.clip(mean_frame, 0, 255).astype(np.uint8))
+    motion = 0.0
+    if len(frames) > 1:
+        motion = float(np.mean([
+            np.mean(np.abs(frames[i + 1].astype(np.float64)
+                           - frames[i].astype(np.float64)))
+            for i in range(len(frames) - 1)])) / 255.0
+    feat[30] = np.float32(np.log1p(len(frames)) / 10.0)
+    feat[31] = np.float32(motion)
+    return feat
+
+
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.string()),
     ("kind", pa.string()),          # image | audio | video
@@ -260,16 +346,24 @@ class MediaDecoder:
     def _decode(self, payload: bytes, kind: str) -> tuple[np.ndarray, str]:
         if self.decoder == "fake":
             return self._fake_decode(payload), ""
-        if kind == "image":
-            try:
-                return raster_features(decode_raster(payload)), ""
-            except Exception as e:
-                return (np.zeros(self.FEAT_DIM, dtype=np.float32),
-                        f"{type(e).__name__}: {e}")
-        # audio/video feature kernels stay honest stubs
-        return (np.zeros(self.FEAT_DIM, dtype=np.float32),
-                f"NotImplementedError: real {kind} features need "
-                "ffmpeg/librosa — plug the kernel in here")
+        kernels = {
+            "image": lambda p: raster_features(decode_raster(p)),
+            "audio": lambda p: audio_features(*decode_wav(p),
+                                              dim=self.FEAT_DIM),
+            "video": lambda p: video_features(decode_y4m(p)[0]),
+        }
+        kernel = kernels.get(kind)
+        if kernel is None:
+            return (np.zeros(self.FEAT_DIM, dtype=np.float32),
+                    f"NotImplementedError: no real kernel for "
+                    f"kind={kind}")
+        try:
+            return kernel(payload), ""
+        except Exception as e:
+            # unsupported container/codec (e.g. mp3/mp4 need ffmpeg):
+            # dead-letter per row, keep the batch going
+            return (np.zeros(self.FEAT_DIM, dtype=np.float32),
+                    f"{type(e).__name__}: {e}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
@@ -345,7 +439,7 @@ def _encode_bmp24(img: np.ndarray) -> bytes:
 def synth_real_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic fixture with REAL payload formats the pure-Python
     kernels decode: P6 PPM / 24-bit BMP gradient images, y4m gradient
-    videos; audio stays opaque (its kernel is the honest stub)."""
+    videos, 16-bit PCM WAV harmonic tones."""
     rng = np.random.RandomState(seed)
     rows = []
     kinds = ["image", "video", "image", "audio"]
@@ -370,10 +464,16 @@ def synth_real_media_table(n: int, seed: int = 42) -> pa.Table:
             mime = "video/x-yuv4mpeg"
             dur = nf * 100
         else:
-            payload = rng.bytes(256)
+            sr = 8000
+            dur_s = 0.25 + float(rng.randint(0, 4)) * 0.25
+            t = np.arange(int(sr * dur_s)) / sr
+            f0 = 110.0 * (1 + (i % 7))
+            payload = encode_wav(0.6 * np.sin(2 * np.pi * f0 * t)
+                                 + 0.3 * np.sin(2 * np.pi * 2 * f0 * t),
+                                 sr)
             mime = "audio/wav"
             w = h = -1
-            dur = int(rng.randint(1000, 60000))
+            dur = int(dur_s * 1000)
         rows.append({"media_id": f"m{i:06d}", "kind": kind,
                      "payload": payload, "mime": mime,
                      "width": w, "height": h, "duration_ms": dur})

@@ -461,6 +461,45 @@ def test_raster_kernels_exact():
     assert decode_ppm(gray)[0, 1].tolist() == [200, 200, 200]
 
 
+def test_wav_roundtrip_and_audio_features():
+    """Pure-stdlib WAV codec: encode→decode is lossless to 16-bit
+    quantization; the spectral descriptor localizes a pure tone."""
+    import numpy as np
+    from guacray.stages.multimodal import (audio_features, decode_wav,
+                                           encode_wav)
+    sr = 8000
+    t = np.arange(sr) / sr  # 1 s
+    x = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    y, sr2 = decode_wav(encode_wav(x, sr))
+    assert sr2 == sr and len(y) == len(x)
+    assert np.max(np.abs(y - x)) < 1.5 / 32768
+    f = audio_features(y, sr)
+    assert abs(f[0] - 1.0) < 1e-6          # duration
+    assert abs(f[1] - 0.5 / np.sqrt(2)) < 1e-3   # RMS of a sine
+    assert abs(f[3] - 0.5) < 1e-3          # peak
+    # band energy concentrates where the tone lives: the argmax band's
+    # edge range must contain bin 440 (1 s ⇒ bin == Hz)
+    bands = f[4:]
+    nb = len(bands)
+    edges = np.geomspace(1, sr // 2 + 1, nb + 1)
+    k = int(np.argmax(bands))
+    assert edges[k] <= 440 <= edges[k + 1] * 2  # within the peak band
+    # stereo + 8-bit paths
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        inter = np.empty(2 * len(x), dtype="<i2")
+        inter[0::2] = (x * 32767).astype("<i2")
+        inter[1::2] = (-x * 32767).astype("<i2")
+        w.writeframes(inter.tobytes())
+    y2, _ = decode_wav(buf.getvalue())
+    assert np.max(np.abs(y2)) < 1e-4       # L/R cancel in the mono mix
+
+
 def test_real_media_kernels_end_to_end():
     """decoder='real' over a real-format fixture: image features are
     content statistics, resize produces a true P6 raster of the target
@@ -481,8 +520,19 @@ def test_real_media_kernels_end_to_end():
     # [0,1]; the blue channel of the gradient fixture is constant
     f0 = np.array(list(img_rows["features"])[0])
     assert 0.0 <= f0[:6].min() and f0[:3].max() <= 1.0
+    # audio + video kernels are real too now: every fixture row decodes
     aud = feats[feats["kind"] == "audio"]
-    assert (aud["error"].str.contains("NotImplementedError")).all()
+    assert (aud["error"] == "").all()
+    vid = feats[feats["kind"] == "video"]
+    assert (vid["error"] == "").all()
+    # audio features are real DSP: dim 0 is duration_s, matching the
+    # fixture metadata; RMS of the 0.6+0.3 harmonic tone ≈ 0.474
+    meta = {r["media_id"]: r["duration_ms"] for r in media.to_pylist()}
+    for _, r in aud.iterrows():
+        f = np.array(list(r["features"]))
+        assert abs(f[0] - meta[r["media_id"]] / 1000.0) < 0.01
+        assert abs(f[1] - 0.474) < 0.02
+        assert abs(f[4:].sum() - 1.0) < 1e-3  # normalized band energy
 
     resized = resize_images(ds, target=(5, 7), decoder="real").to_pandas()
     rimg = resized[resized["kind"] == "image"]
