@@ -143,7 +143,8 @@ def map_side_join(ds, small_ref, on: str | list[str], how: str = "inner",
 
 def auto_join(left, right, *, on: str, right_on: str,
               num_partitions: int | None = None,
-              broadcast_threshold: int = 2_000_000):
+              broadcast_threshold: int = 2_000_000,
+              right_rename: dict[str, str] | None = None):
     """Size-aware inner join (the planner decision GUAC never needs —
     its joins are all client-side ID substitution).
 
@@ -152,6 +153,13 @@ def auto_join(left, right, *, on: str, right_on: str,
     aggregator actors); otherwise fall back to the hash-partitioned
     ``Dataset.join``.  At 100 TB the threshold keeps dimension-sized
     sides on the broadcast path and fact-fact joins on the shuffle path.
+
+    ``right_rename``: project+rename the right side to exactly these
+    {old: new} columns INSIDE the join instead of via a map_batches on
+    the caller side — a pre-join rename on an already-materialized
+    right side would otherwise cost one whole extra Dataset execution
+    (measured ~1-2 s each; the main fixed cost of join-heavy
+    pipelines like connected components and AllPairs verification).
     """
     import ray
     # materialize once: count() would otherwise execute the right-side
@@ -161,11 +169,18 @@ def auto_join(left, right, *, on: str, right_on: str,
     if n_right <= broadcast_threshold:
         import pandas as pd
         small = right.to_pandas()
+        if right_rename:
+            small = small[list(right_rename)].rename(columns=right_rename)
         ref = ray.put(small)
 
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
             return batch.merge(ray.get(ref), left_on=on, right_on=right_on)
         return left.map_batches(fn, batch_format="pandas")
+    if right_rename:
+        def project(t: pa.Table) -> pa.Table:
+            return pa.table({new: t[old]
+                             for old, new in right_rename.items()})
+        right = right.map_batches(project, batch_format="pyarrow")
     if num_partitions is None:
         num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
     return left.join(right, "inner", num_partitions=num_partitions,

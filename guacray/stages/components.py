@@ -82,12 +82,10 @@ def connected_components(edges_ds, *, subj_col: str = "subj_id",
     for _ in range(max_iters):
         # labels onto each endpoint → per-edge candidate labels in both
         # directions, then min per node including the current label
-        la = auto_join(pairs, labels.map_batches(
-            lambda t: pa.table({"__n": t["node_id"], "__la": t["label"]}),
-            batch_format="pyarrow"), on="a", right_on="__n")
-        lab = auto_join(la, labels.map_batches(
-            lambda t: pa.table({"__m": t["node_id"], "__lb": t["label"]}),
-            batch_format="pyarrow"), on="b", right_on="__m")
+        la = auto_join(pairs, labels, on="a", right_on="__n",
+                       right_rename={"node_id": "__n", "label": "__la"})
+        lab = auto_join(la, labels, on="b", right_on="__m",
+                        right_rename={"node_id": "__m", "label": "__lb"})
 
         def candidates(t: pa.Table) -> pa.Table:
             return pa.concat_tables([
@@ -105,12 +103,8 @@ def connected_components(edges_ds, *, subj_col: str = "subj_id",
         # chains so convergence is O(log diameter) rounds, not
         # O(diameter) — the standard trick in distributed CC
         hop = auto_join(
-            merged,
-            merged.map_batches(
-                lambda t: pa.table({"__ln": t["node_id"],
-                                    "__ll": t["label"]}),
-                batch_format="pyarrow"),
-            on="label", right_on="__ln")
+            merged, merged, on="label", right_on="__ln",
+            right_rename={"node_id": "__ln", "label": "__ll"})
         merged = grouped_agg(
             hop.map_batches(
                 lambda t: pa.table({"node_id": t["node_id"],

@@ -482,10 +482,8 @@ def jaccard_pairs(ds, *, threshold: float = 0.5, shingle_k: int = 3,
         batch_format="pyarrow")
     cand = cand.repartition(nb).groupby("bucket").map_groups(
         pair_dedup, batch_format="pyarrow")
-    cand = auto_join(cand, sigs.map_batches(
-        lambda t: pa.table({"__a": t["doc_id"], "__ha": t["hs"]}),
-        batch_format="pyarrow"), on="doc_a", right_on="__a")
-    cand = auto_join(cand, sigs.map_batches(
-        lambda t: pa.table({"__b": t["doc_id"], "__hb": t["hs"]}),
-        batch_format="pyarrow"), on="doc_b", right_on="__b")
+    cand = auto_join(cand, sigs, on="doc_a", right_on="__a",
+                     right_rename={"doc_id": "__a", "hs": "__ha"})
+    cand = auto_join(cand, sigs, on="doc_b", right_on="__b",
+                     right_rename={"doc_id": "__b", "hs": "__hb"})
     return cand.map_batches(verify, batch_format="pyarrow")
