@@ -143,6 +143,21 @@ def _kg_class_reachable(sf_dir: str):
         seed, direction="out", max_depth=10))
 
 
+def _kg_toposort(sf_dir: str):
+    """Deterministic topological order (Kahn with sorted queue) over
+    the BFS-layered DAG from the first org node (rows-only: a topo
+    order is graph-relative, not SQL-value-derivable; determinism and
+    validity are pytest-checked in test_query)."""
+    import pyarrow as pa
+    store = _kg_store(sf_dir)
+    seed = store.nodes(node_type="org").to_pandas()["node_id"].min()
+    order = store.toposort(seed, direction="out", max_depth=10)
+    return pa.table({
+        "pos": pa.array(range(len(order)), type=pa.int64()),
+        "node_id": pa.array(order, type=pa.string()),
+    })
+
+
 def _kg_affected_versions(sf_dir: str):
     """Version-range query over qualified product nodes (the "affected
     versions" vuln-analysis shape; depversion matcher on the
@@ -429,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_reachable": _kg_reachable,
         "kg_blast_radius": _kg_blast_radius,
         "kg_class_reachable": _kg_class_reachable,
+        "kg_toposort": _kg_toposort,
         "kg_affected_versions": _kg_affected_versions,
     }
     return q

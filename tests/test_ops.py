@@ -315,6 +315,34 @@ def test_semi_join_scale_path_matches_broadcast():
         assert set(a["k"]) == expect
 
 
+def test_auto_join_right_rename_both_paths():
+    """right_rename must behave identically on the broadcast path and
+    the hash-partitioned (threshold=0) path, and project away
+    un-renamed right columns."""
+    from guacray.stages.agg import auto_join
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 3], type=pa.int64()),
+        "v": pa.array(list("abcd")),
+    }))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([2, 3, 9], type=pa.int64()),
+        "payload": pa.array(["x", "y", "z"]),
+        "noise": pa.array([10, 20, 30], type=pa.int64()),
+    }))
+    rename = {"rk": "__rk", "payload": "__p"}
+    frames = []
+    for thr in (2_000_000, 0):
+        df = auto_join(left, right, on="k", right_on="__rk",
+                       broadcast_threshold=thr,
+                       right_rename=rename).to_pandas()
+        assert "noise" not in df.columns
+        frames.append(df[["k", "v", "__p"]]
+                      .sort_values(["k", "v"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(frames[0], frames[1])
+    assert set(zip(frames[0]["k"], frames[0]["__p"])) == {(2, "x"),
+                                                          (3, "y")}
+
+
 def test_kll_rank_error_and_merge():
     """KLL sketch: rank error within bound; merging shard sketches ≈
     sketching the whole; serialization roundtrip exact."""
