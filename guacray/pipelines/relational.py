@@ -608,19 +608,21 @@ def doc_mentions(sf_dir: str):
     """Explode-extract parity op: split text, keep vocabulary words —
     the SQL-checkable miniature of the KG extract stage (flat-map
     explode with provenance)."""
-    vocab = set(MENTION_VOCAB)
+    vocab = pa.array(MENTION_VOCAB, type=pa.string())
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids, mentions = [], []
-        for did, text in zip(batch["doc_id"].to_pylist(),
-                             batch["text"].to_pylist()):
-            for w in text.split(" "):
-                if w in vocab:
-                    ids.append(did)
-                    mentions.append(w)
-        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
-                         "mention": pa.array(mentions, type=pa.string())})
+        # fully vectorized explode: split → flatten with parent
+        # indices → vocabulary membership filter (no Python per row)
+        words = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(words)
+        parents = pc.list_parent_indices(words)
+        mask = pc.is_in(flat, value_set=vocab)
+        return pa.table({
+            "doc_id": pc.take(batch["doc_id"],
+                              pc.filter(parents, mask)),
+            "mention": pc.filter(flat, mask),
+        })
     return ds.map_batches(fn, batch_format="pyarrow")
 
 

@@ -422,7 +422,7 @@ def jaccard_pairs(ds, *, threshold: float = 0.5, shingle_k: int = 3,
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         df = group.to_pandas()
-        out_a, out_b = [], []
+        outs = []
         for _, g in df.groupby("token", sort=False):
             if len(g) < 2:
                 continue
@@ -430,18 +430,31 @@ def jaccard_pairs(ds, *, threshold: float = 0.5, shingle_k: int = 3,
             ids = g["doc_id"].to_numpy()
             ns = g["n"].to_numpy()
             # length filter: J >= t needs n_b <= n_a / t; rows sorted
-            # by n, so each row pairs with a contiguous run ahead
-            hi = np.searchsorted(ns, np.floor(ns / threshold), side="right")
-            for i in range(len(g)):
-                for j in range(i + 1, hi[i]):
-                    a, b = ids[i], ids[j]
-                    if a == b:
-                        continue
-                    out_a.append(min(a, b))
-                    out_b.append(max(a, b))
+            # by n, so row i pairs with the contiguous run (i, hi[i)).
+            # Pair emission is fully vectorized (ranges concatenation):
+            # no Python-per-pair loop even in a mega-bucket.
+            hi = np.searchsorted(ns, np.floor(ns / threshold),
+                                 side="right")
+            starts = np.arange(1, len(g) + 1)
+            cnt = np.maximum(hi - starts, 0)
+            total = int(cnt.sum())
+            if total == 0:
+                continue
+            a = np.repeat(ids, cnt)
+            offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt,
+                                                cnt)
+            b = ids[np.repeat(starts, cnt) + offs]
+            outs.append((np.minimum(a, b), np.maximum(a, b)))
+        if not outs:
+            return pa.table({
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+            })
         return pa.table({
-            "doc_a": pa.array(out_a, type=pa.int64()),
-            "doc_b": pa.array(out_b, type=pa.int64()),
+            "doc_a": pa.array(np.concatenate([o[0] for o in outs]),
+                              type=pa.int64()),
+            "doc_b": pa.array(np.concatenate([o[1] for o in outs]),
+                              type=pa.int64()),
         })
 
     def pair_dedup(group: pa.Table) -> pa.Table:
