@@ -429,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_pairs": R.doc_minhash_pairs,
         "doc_simhash_pairs": R.doc_simhash_pairs,
         "doc_jaccard_pairs": R.doc_jaccard_pairs,
+        "ann_brute_topk_multi": R.ann_brute_topk_multi,
         "doc_lang_id": R.doc_lang_id,
         "doc_winnow": R.doc_winnow,
         # flagship KG pipeline (rows-only; golden parity in pytest)

@@ -676,6 +676,17 @@ def ann_brute_topk(sf_dir: str, k: int = 50):
     return brute_force_topk(ds, q, k=k)
 
 
+def ann_brute_topk_multi(sf_dir: str, k: int = 20):
+    """Batched similarity search: 4 broadcast queries answered in one
+    pass over the embeddings (one matmul per batch against the shared
+    query matrix) — SQL-checked per query against a DuckDB cross join
+    + windowed top-k."""
+    from ..stages.ann import brute_force_topk_multi, make_query_matrix
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    return brute_force_topk_multi(ds, make_query_matrix(4, 64), k=k)
+
+
 def ann_lsh_topk(sf_dir: str, k: int = 50):
     q = make_query_vector(64)
     ds = rd.read_parquet(_t(sf_dir, "embeddings"),
@@ -824,6 +835,16 @@ def embedding_label_counts(sf_dir: str):
 def _query_vec_sql() -> str:
     q = make_query_vector(64)
     return "[" + ", ".join(repr(float(x)) for x in q) + "]"
+
+
+def _query_matrix_sql() -> str:
+    """The broadcast query matrix as a UNION ALL of literal rows."""
+    from ..stages.ann import make_query_matrix
+    rows = []
+    for j, row in enumerate(make_query_matrix(4, 64)):
+        vec = "[" + ", ".join(repr(float(x)) for x in row) + "]"
+        rows.append(f"SELECT CAST({j} AS BIGINT) AS query_id, {vec} AS q")
+    return " UNION ALL ".join(rows)
 
 
 SQL: dict[str, str] = {
@@ -1070,6 +1091,18 @@ SQL: dict[str, str] = {
         FROM embeddings
         ORDER BY cos_sim DESC, vec_id
         LIMIT 50
+    """,
+    "ann_brute_topk_multi": f"""
+        SELECT query_id, vec_id, cos_sim FROM (
+            SELECT q.query_id, e.vec_id,
+                   round(list_cosine_similarity(e.embedding, q.q), 4)
+                       AS cos_sim,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(
+                                    e.embedding, q.q), 4) DESC,
+                                e.vec_id) AS rn
+            FROM ({_query_matrix_sql()}) q CROSS JOIN embeddings e)
+        WHERE rn <= 20
     """,
     "embedding_label_counts": """
         SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label

@@ -65,6 +65,68 @@ def brute_force_topk(ds, query: np.ndarray, k: int = 50, round_dp: int = 4):
     return out.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
 
 
+def make_query_matrix(m: int = 4, dim: int = 64,
+                      seed: int = 123) -> np.ndarray:
+    """Deterministic (m × dim) unit-norm query matrix."""
+    rng = np.random.RandomState(seed)
+    q = rng.standard_normal((m, dim))
+    return q / np.linalg.norm(q, axis=1, keepdims=True)
+
+
+def brute_force_topk_multi(ds, queries: np.ndarray, k: int = 50,
+                           round_dp: int = 4):
+    """Batched exact cosine top-k for a BROADCAST query matrix.
+
+    The (m × d) matrix ships ONCE via ``ray.put`` (read zero-copy in
+    every task, never re-shipped per batch); each batch does one
+    (n × d)·(d × m) matmul and emits per-query local top-k rows; a
+    per-query grouped head yields the global answer.  The 100 TB plan:
+    every block emits ≤ m·k narrow rows regardless of block size, so
+    the final exchange is tiny.  Output: query_id, vec_id, cos_sim
+    (rounded, deterministic (sim desc, vec_id) tie-break — same
+    boundary discipline as ``brute_force_topk``).
+    """
+    import ray
+    ref = ray.put(np.asarray(queries, dtype=np.float64))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "cos_sim": pa.array([], type=pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        q = ray.get(ref)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        emb = np.stack(batch["embedding"].to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        qn = np.linalg.norm(q, axis=1)
+        qn[qn == 0] = 1.0
+        sims = (emb @ q.T) / norms[:, None] / qn[None, :]
+        r = np_round_half_away(sims, round_dp)
+        qs, vs, ss = [], [], []
+        for j in range(q.shape[0]):  # bounded by m queries, not rows
+            idx = np.lexsort((vec_ids, -r[:, j]))[:k]
+            qs.append(np.full(len(idx), j, dtype=np.int64))
+            vs.append(vec_ids[idx])
+            ss.append(r[idx, j])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qs), type=pa.int64()),
+            "vec_id": pa.array(np.concatenate(vs), type=pa.int64()),
+            "cos_sim": pa.array(np.concatenate(ss), type=pa.float64()),
+        })
+
+    out = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def head(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["cos_sim", "vec_id"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return out.groupby("query_id").map_groups(head, batch_format="pyarrow")
+
+
 def label_centroids(ds, dim: int = 64, round_dp: int = 4):
     """Per-label embedding centroids, exploded to (label, dim, avg_v).
 

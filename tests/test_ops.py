@@ -315,6 +315,31 @@ def test_semi_join_scale_path_matches_broadcast():
         assert set(a["k"]) == expect
 
 
+def test_brute_force_topk_multi_matches_single():
+    """Each query row of the broadcast matrix must get exactly the
+    single-query brute-force answer."""
+    from guacray.stages.ann import (brute_force_topk,
+                                    brute_force_topk_multi,
+                                    make_query_matrix)
+    rng = np.random.RandomState(11)
+    emb = rng.standard_normal((200, 16))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(200), type=pa.int64()),
+        "embedding": pa.array(emb.tolist(),
+                              type=pa.list_(pa.float64())),
+    }))
+    Q = make_query_matrix(3, 16, seed=5)
+    multi = brute_force_topk_multi(ds, Q, k=10).to_pandas()
+    assert len(multi) == 30
+    for j in range(3):
+        single = brute_force_topk(ds, Q[j], k=10).to_pandas()
+        sub = (multi[multi["query_id"] == j][["vec_id", "cos_sim"]]
+               .sort_values(["cos_sim", "vec_id"],
+                            ascending=[False, True])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(sub, single.reset_index(drop=True))
+
+
 def test_auto_join_right_rename_both_paths():
     """right_rename must behave identically on the broadcast path and
     the hash-partitioned (threshold=0) path, and project away
