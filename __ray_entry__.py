@@ -177,7 +177,7 @@ def _kg_oracles() -> dict[str, str]:
     dedup / join machinery.  All attrs are pure functions of their key
     (content-hash identity), so MIN() reproduces first-wins exactly.
     Store paths are deterministic per fixture size (``_store_dir``)."""
-    d = _store_dir("sf0.01")
+    d = _store_dir(_oracle_sf())
     tri = os.path.join(d, "triples", "*.parquet")
     edg = os.path.join(d, "edges", "*.parquet")
     nod = os.path.join(d, "nodes", "*.parquet")
@@ -341,7 +341,8 @@ def _kg_affected_versions_sql() -> str:
     reads the SAME materialized nodes table (path is deterministic per
     fixture size); the engine side under test is the distributed range
     scan, the SQL re-derives the match from the raw qualifier string."""
-    nodes_glob = os.path.join(_store_dir("sf0.01"), "nodes", "*.parquet")
+    nodes_glob = os.path.join(_store_dir(_oracle_sf()),
+                              "nodes", "*.parquet")
     return f"""
         SELECT node_id, node_key, node_type, name, qualifiers
         FROM read_parquet('{nodes_glob}')
@@ -451,16 +452,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return q
 
 
+def _oracle_sf() -> str:
+    """Fixture the KG oracles are pinned to.  The driver runs the
+    correctness gate at sf0.01 (the default); our local harness sets
+    GUACRAY_ORACLE_SF so the same oracles check other scales too."""
+    return os.environ.get("GUACRAY_ORACLE_SF", "sf0.01")
+
+
 def oracle_sql() -> dict[str, str]:
     from guacray.pipelines.relational import SQL
     out = dict(SQL)
     # the KG oracles read the materialized store tables at their
-    # deterministic paths — build the sf0.01 store up front so the
-    # checks pass regardless of the order the driver evaluates queries
-    # vs oracles (Ray is already initialised by the driver per the
-    # module contract)
+    # deterministic paths — build the pinned fixture's store up front
+    # so the checks pass regardless of the order the driver evaluates
+    # queries vs oracles (Ray is already initialised by the driver per
+    # the module contract)
     try:
-        _kg_store("sf0.01")
+        _kg_store(_oracle_sf())
         out.update(_kg_oracles())
     except Exception:
         pass  # no Ray session / no fixture: stay rows-only for these

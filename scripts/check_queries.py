@@ -63,6 +63,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # the KG oracles read a materialized store at a deterministic path
+    # keyed by fixture size; pin them to the sf being checked (the
+    # driver, which never sets this, gets the sf0.01 default it runs at)
+    os.environ["GUACRAY_ORACLE_SF"] = os.path.basename(
+        os.path.normpath(sf_dir))
+
     import __ray_entry__ as E
     qs, oracles = E.queries(), E.oracle_sql()
 
