@@ -69,6 +69,12 @@ def write_table(ds, out_dir: str, empty_schema=None,
         if arrow_schema is not None:
             pq.write_table(arrow_schema.empty_table(),
                            os.path.join(tmp, "empty.parquet"))
+    _commit_dir(tmp, out_dir)
+
+
+def _commit_dir(tmp: str, out_dir: str) -> None:
+    """Atomically promote a fully-written tmp dir to ``out_dir``."""
+    import shutil
     old = out_dir.rstrip("/") + ".__old__"
     shutil.rmtree(old, ignore_errors=True)
     if os.path.isdir(out_dir):
@@ -95,6 +101,36 @@ def read_parquet_fast(path_or_paths, **kwargs):
         return rd.read_parquet(path_or_paths, **kwargs)
     finally:
         ctx.decoding_size_estimation = old
+
+
+def _fused_checkpoint_writer(tmp_dir: str):
+    """Pass-through block stage: persist each triples block to the
+    checkpoint tmp dir AND emit the pruned canonicalize projection.
+
+    This overlaps the checkpoint write with the downstream exchange in
+    ONE streaming execution — the disk mode's write-then-re-read pays a
+    full executor teardown/startup plus a serial read-back of the whole
+    checkpoint between the two, which is the pipeline's largest
+    non-scaling term at saturation (BASELINE.md round-3 study).
+
+    Idempotent under Ray task retries: the filename is a deterministic
+    content hash of the block (vectorized), so a retried task rewrites
+    its own file byte-for-byte instead of appending a duplicate.
+    """
+    from ..stages.canonicalize import CANON_COLS
+
+    def write_and_project(batch):
+        import numpy as np
+        import pandas as pd
+        if batch.num_rows:
+            h = pd.util.hash_array(
+                batch["edge_id"].to_numpy(zero_copy_only=False))
+            name = (f"blk-{batch.num_rows}-"
+                    f"{np.bitwise_xor.reduce(h):016x}-{h.sum():016x}")
+            pq.write_table(batch, os.path.join(tmp_dir, f"{name}.parquet"))
+        return batch.select(CANON_COLS)
+
+    return write_and_project
 
 
 def linked_triples(pages_ds, alias_ref=None, link_concurrency=None):
@@ -163,34 +199,63 @@ def run_kg(pages_path: str, out_dir: str, *, num_buckets: int | None = None,
            checkpoint_mode: str | None = None) -> dict:
     """One-shot run: pages parquet → out_dir/{triples,nodes,edges}.
 
-    Three executions total, each streaming end-to-end:
+    Three executions total in the default ("disk") mode, each streaming
+    end-to-end:
       1. read → normalize→extract→link (one fused actor pass) →
          write compacted triples checkpoint (extract runs exactly once)
-      2. nodes  = combiner + bucketed exchange over the checkpoint
-      3. edges  = same
+      2+3. nodes+edges = combiner + ONE kind-tagged bucketed exchange
+         over the checkpoint
     The evidence table is a projection view of the checkpoint
-    (``evidence_view``) — no fourth pass.  Returns row counts per table
-    (parquet footers, no extra Ray job).
+    (``evidence_view``) — no extra pass.  Returns row counts per table
+    (parquet footers, no extra Ray job).  See the checkpoint-mode
+    comment below for the measured "fused"/"mem" A/B variants.
     """
     alias_ref = broadcast_alias_map(seed)
     pages = read_parquet_fast(pages_path)
     triples = linked_triples(pages, alias_ref, link_concurrency)
     tri_dir = os.path.join(out_dir, "triples")
     # checkpoint mode (env GUACRAY_CHECKPOINT overrides):
-    #   "disk" (default) — write the durable checkpoint, re-read it for
-    #            the exchange.  This is the production 100 TB shape:
-    #            the triples checkpoint must survive the run anyway
-    #            (resume boundary), and at that scale it cannot live in
-    #            the object store.
-    #   "mem"  — additionally pin triples in the object store so the
-    #            exchange skips the disk re-read (~25% faster end-to-end
-    #            at interactive scales; measured +48% at 8 CPUs where
-    #            the IO round-trip dominates).
+    #   "disk" (default) — write the durable checkpoint, then re-read it
+    #            for the exchange in a second execution.  Wins BOTH the
+    #            saturated headline and the 8→32 scaling ratio in the
+    #            round-3 interleaved A/B (262k pages: 14.7s vs fused
+    #            17.0s at 32 CPUs; eff 0.64 vs 0.47 in the same noisy
+    #            window) and is the resume boundary at 100 TB.
+    #   "fused" — ONE streaming execution: each triples block is
+    #            persisted to the checkpoint as a side effect of the
+    #            same map task that feeds the canonicalize exchange
+    #            (``_fused_checkpoint_writer``; same durable artifact,
+    #            promoted atomically after the exchange materializes).
+    #            Removes the write→teardown→re-read serial constant:
+    #            measured 31.8s vs disk's 37.7s at 8 CPUs (IO-bound
+    #            regime) and ~equal at 1M pages / 32 CPUs — but the
+    #            in-task write stalls the exchange's critical path at
+    #            high parallelism, so it is NOT the default.
+    #   "mem"  — pin the FULL triples in the object store so the
+    #            exchange skips the disk re-read.  Measured 2.5× WORSE
+    #            than disk at 1M pages (object-store pressure) — only
+    #            sensible at interactive scales.
     mode = checkpoint_mode or os.environ.get("GUACRAY_CHECKPOINT", "disk")
     from ..stages.canonicalize import CANON_COLS, graph_tables
+    fused_tmp = None
     if mode == "mem":
         tri = triples.materialize()
         write_table(tri, tri_dir, schemas.TRIPLES, min_rows_per_file=200_000)
+    elif mode == "fused":
+        import shutil
+        fused_tmp = tri_dir.rstrip("/") + ".__tmp__"
+        shutil.rmtree(fused_tmp, ignore_errors=True)
+        os.makedirs(fused_tmp, exist_ok=True)
+        # batch_size=200k: the writer coalesces the linker's many small
+        # output blocks into compacted checkpoint files (same 200k-row
+        # target as disk mode's min_rows_per_file) AND hands the
+        # downstream combiner big blocks — per-block dedup on small
+        # blocks collapses almost nothing and the exchange would
+        # shuffle ~the full triple volume (first fused A/B measured
+        # 25% SLOWER than disk for exactly this reason)
+        tri = triples.map_batches(_fused_checkpoint_writer(fused_tmp),
+                                  batch_format="pyarrow",
+                                  batch_size=200_000)
     else:
         write_table(triples, tri_dir, schemas.TRIPLES,
                     min_rows_per_file=200_000)
@@ -198,6 +263,14 @@ def run_kg(pages_path: str, out_dir: str, *, num_buckets: int | None = None,
         # raw surfaces — those columns stay on disk for evidence_view
         tri = read_parquet_fast(tri_dir, columns=CANON_COLS)
     nodes, edges = graph_tables(tri, num_buckets)
+    if fused_tmp is not None:
+        # graph_tables materialized the exchange, so every upstream
+        # block (and its side-effect checkpoint file) is complete —
+        # promote the tmp dir atomically, exactly like write_table
+        if not any(f.endswith(".parquet") for f in os.listdir(fused_tmp)):
+            pq.write_table(schemas.TRIPLES.empty_table(),
+                           os.path.join(fused_tmp, "empty.parquet"))
+        _commit_dir(fused_tmp, tri_dir)
     write_table(nodes, os.path.join(out_dir, "nodes"), schemas.NODES)
     # per-predicate hive partitioning (SURVEY §7.1 step 6) lets
     # predicate-filtered queries prune whole directories; off by default
@@ -269,13 +342,15 @@ def run_kg_resumable(pages_files: list[str], out_dir: str, *,
     # read_parquet expands a single dir, but a LIST of paths must be files
     part_files = [os.path.join(d, f) for d in part_dirs
                   for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
-    from ..stages.canonicalize import CANON_COLS
+    from ..stages.canonicalize import CANON_COLS, graph_tables
     tri = read_parquet_fast(part_files, columns=CANON_COLS)
     counts = {}
-    write_table(nodes_table(tri, num_buckets), os.path.join(out_dir, "nodes"),
-                schemas.NODES)
-    write_table(edges_table(tri, num_buckets), os.path.join(out_dir, "edges"),
-                schemas.EDGES)
+    # ONE kind-tagged exchange for both tables (same plan as run_kg);
+    # running nodes_table/edges_table separately would re-read the
+    # checkpoint and pay the shuffle twice
+    nodes, edges = graph_tables(tri, num_buckets)
+    write_table(nodes, os.path.join(out_dir, "nodes"), schemas.NODES)
+    write_table(edges, os.path.join(out_dir, "edges"), schemas.EDGES)
     for name in ("nodes", "edges"):
         counts[name] = _dir_num_rows(os.path.join(out_dir, name))
     counts["evidence"] = sum(_dir_num_rows(d) for d in part_dirs)

@@ -181,18 +181,47 @@ def test_pr_gate_at_larger_corpus():
 
 def test_checkpoint_modes_equal_outputs(small_pages_path, tmp_path):
     from guacray.pipelines.kg import run_kg
-    a = str(tmp_path / "disk")
-    b = str(tmp_path / "mem")
-    ca = run_kg(small_pages_path, a, checkpoint_mode="disk")
-    cb = run_kg(small_pages_path, b, checkpoint_mode="mem")
-    assert ca == cb
-    for t, key in (("nodes", "node_id"), ("edges", "edge_id"),
-                   ("triples", "edge_id")):
-        x = rd.read_parquet(f"{a}/{t}").to_pandas() \
-            .sort_values(key).reset_index(drop=True)
-        y = rd.read_parquet(f"{b}/{t}").to_pandas() \
-            .sort_values(key).reset_index(drop=True)
-        if t == "triples":
-            x = x.sort_values(["url", "edge_id"]).reset_index(drop=True)
-            y = y.sort_values(["url", "edge_id"]).reset_index(drop=True)
-        pd.testing.assert_frame_equal(x, y[x.columns])
+    dirs = {m: str(tmp_path / m) for m in ("disk", "mem", "fused")}
+    counts = {m: run_kg(small_pages_path, d, checkpoint_mode=m)
+              for m, d in dirs.items()}
+    assert counts["disk"] == counts["mem"] == counts["fused"]
+    a = dirs["disk"]
+    for b in (dirs["mem"], dirs["fused"]):
+        for t, key in (("nodes", "node_id"), ("edges", "edge_id"),
+                       ("triples", "edge_id")):
+            x = rd.read_parquet(f"{a}/{t}").to_pandas() \
+                .sort_values(key).reset_index(drop=True)
+            y = rd.read_parquet(f"{b}/{t}").to_pandas() \
+                .sort_values(key).reset_index(drop=True)
+            if t == "triples":
+                x = x.sort_values(["url", "edge_id"]).reset_index(drop=True)
+                y = y.sort_values(["url", "edge_id"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(x, y[x.columns])
+
+
+def test_fused_checkpoint_rerun_idempotent(small_pages_path, tmp_path):
+    """The fused writer's side-effect files must not double on rerun
+    into the same dir (deterministic content-hash filenames + atomic
+    tmp-dir promotion)."""
+    from guacray.pipelines.kg import run_kg
+    out = str(tmp_path / "out")
+    c1 = run_kg(small_pages_path, out, checkpoint_mode="fused")
+    c2 = run_kg(small_pages_path, out, checkpoint_mode="fused")
+    assert c1 == c2
+
+
+def test_fused_checkpoint_empty_input(tmp_path):
+    """Zero-row input still yields valid (0-row, canonical-schema)
+    parquet dirs in fused mode."""
+    import pyarrow.parquet as pq
+    from guacray import schemas
+    from guacray.data.pages import write_pages
+    from guacray.pipelines.kg import run_kg
+    pages = str(tmp_path / "pages.parquet")
+    write_pages(pages, 8)
+    t = pq.read_table(pages)
+    pq.write_table(t.slice(0, 0), pages)  # keep schema, drop rows
+    out = str(tmp_path / "out")
+    counts = run_kg(pages, out, checkpoint_mode="fused")
+    assert counts == {"triples": 0, "nodes": 0, "edges": 0, "evidence": 0}
+    assert pq.read_table(f"{out}/triples").schema.equals(schemas.TRIPLES)
