@@ -83,6 +83,59 @@ def _stable_hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
 
 
+_MIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_C2 = np.uint64(0x94D049BB133111EB)
+_ROLL_M = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — decorrelates the linear rolling combine so
+    shingle hashes are uniform 64-bit (MinHash needs uniformity)."""
+    x = (x ^ (x >> np.uint64(30))) * _MIX_C1
+    x = (x ^ (x >> np.uint64(27))) * _MIX_C2
+    return x ^ (x >> np.uint64(31))
+
+
+# per-worker word→hash memo: web text repeats words heavily, so blake2b
+# runs once per DISTINCT word per worker, not once per occurrence
+_WORD_MEMO: dict[str, int] = {}
+
+
+def _hash_words(words: list[str]) -> np.ndarray:
+    memo = _WORD_MEMO
+    out = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        h = memo.get(w)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            if len(memo) < 4_000_000:  # ~hundreds of MB cap per worker
+                memo[w] = h
+        out[i] = h
+    return out
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Unique 64-bit hashes of the word-k-shingle set, vectorized.
+
+    Hash each word once (memoized), then combine every k-window with a
+    rolling polynomial + splitmix64 finalizer — no shingle strings are
+    ever built.  Set semantics match ``_word_shingles`` up to 64-bit
+    hash collisions (the same equivalence every hash-based dedup here
+    already assumes)."""
+    words = text.lower().split()
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    hv = _hash_words(words)
+    n = len(hv)
+    if n < k:
+        k = n  # single shingle = the whole text
+    acc = hv[:n - k + 1].copy()
+    for j in range(1, k):
+        acc = acc * _ROLL_M + hv[j:n - k + 1 + j]
+    return np.unique(_mix64(acc))
+
+
 class MinHasher:
     """Per-batch MinHash signatures. Permutation params derived from a
     fixed seed in __init__ (once per actor), signatures vectorized with
@@ -98,10 +151,9 @@ class MinHasher:
         self.shingle_k = shingle_k
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _word_shingles(text, self.shingle_k)
-        if not sh:
+        hv = _shingle_hashes(text, self.shingle_k)
+        if len(hv) == 0:
             return np.full(self.num_perm, self.MERSENNE, dtype=np.uint64)
-        hv = np.array([_stable_hash64(s) for s in sh], dtype=np.uint64)
         # (a*h + b) mod p, per permutation — outer product then min
         prod = (self.a[None, :] * (hv[:, None] % self.MERSENNE) + self.b[None, :]) \
             % self.MERSENNE
@@ -134,20 +186,29 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16,
     rows_per_band = num_perm // bands
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        band_ids, band_hashes, doc_ids, sigs = [], [], [], []
-        for doc_id, sig in zip(batch["doc_id"].to_pylist(),
-                               batch["sig"].to_pylist()):
-            for b in range(bands):
-                chunk = tuple(sig[b * rows_per_band:(b + 1) * rows_per_band])
-                band_ids.append(b)
-                band_hashes.append(_stable_hash64(repr(chunk)) >> 1)
-                doc_ids.append(doc_id)
-                sigs.append(sig)
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({
+                "band_id": pa.array([], type=pa.int32()),
+                "band_hash": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "sig": pa.array([], type=pa.list_(pa.uint64())),
+            })
+        # matrix band combine: (n, bands, r) rolling polynomial + mix —
+        # no per-band tuple/repr/blake2b in Python
+        sig_mat = np.stack(batch["sig"].to_numpy(zero_copy_only=False)) \
+            .astype(np.uint64).reshape(n, bands, rows_per_band)
+        acc = sig_mat[:, :, 0].copy()
+        for j in range(1, rows_per_band):
+            acc = acc * _ROLL_M + sig_mat[:, :, j]
+        # >>1 keeps band_hash in non-negative int64 (bucket mask below)
+        bh = (_mix64(acc) >> np.uint64(1)).astype(np.int64)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
         return pa.table({
-            "band_id": pa.array(band_ids, type=pa.int32()),
-            "band_hash": pa.array(band_hashes, type=pa.int64()),
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "sig": pa.array(sigs, type=pa.list_(pa.uint64())),
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.reshape(-1)),
+            "doc_id": batch["doc_id"].take(idx),
+            "sig": batch["sig"].take(idx),
         })
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
@@ -238,15 +299,18 @@ class SimHasher:
     @staticmethod
     def simhash(text: str) -> int:
         words = text.lower().split()
-        feats = words + [" ".join(words[i:i + 2]) for i in range(len(words) - 1)]
-        if not feats:
+        if not words:
             return 0
-        v = np.zeros(64, dtype=np.int64)
-        for f in feats:
-            h = _stable_hash64(f)
-            bits = np.unpackbits(
-                np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
-            v += np.where(bits == 1, 1, -1)
+        # features = unigrams + bigrams WITH multiplicity; bigram hashes
+        # come from the same rolling combine as shingles (no strings)
+        uni = _hash_words(words)
+        feats = _mix64(uni)
+        if len(uni) > 1:
+            feats = np.concatenate(
+                [feats, _mix64(uni[:-1] * _ROLL_M + uni[1:])])
+        bits = np.unpackbits(feats.astype(">u8").view(np.uint8)) \
+            .reshape(len(feats), 64)
+        v = 2 * bits.sum(axis=0, dtype=np.int64) - len(feats)
         return int("".join("1" if x > 0 else "0" for x in v), 2)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -257,33 +321,46 @@ class SimHasher:
             # drop bit-0 differences, under-reporting Hamming distance
             # by one and admitting pairs at true distance max_hamming+1
             "simhash": pa.array(hs, type=pa.uint64()),
-            # 4 bands of 16 bits for bucketing (Hamming ≤ 3 ⇒ at least
-            # one band identical, pigeonhole)
-            **{f"band{i}": pa.array([(h >> (16 * i)) & 0xFFFF for h in hs],
-                                    type=pa.int32()) for i in range(4)},
         })
 
 
 def simhash_pairs(ds, max_hamming: int = 3):
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
-    Bucket by each 16-bit band (pigeonhole guarantee for ≤3 bit diffs
-    over 4 bands), verify true Hamming distance within buckets.
+    Bucket by B = max_hamming+1 bands of ~64/B bits (pigeonhole: a pair
+    within the threshold is IDENTICAL in at least one band), then verify
+    true Hamming distance within buckets — guaranteed full recall at ANY
+    threshold, not just the default.  Candidate volume grows with B
+    (narrower bands collide more), the usual LSH recall/scan trade.
     """
     _sh = SimHasher()
     signed = ds.map_batches(_sh, batch_format="pyarrow")
+    n_bands = min(max_hamming + 1, 64)
+    bounds = np.linspace(0, 64, n_bands + 1).astype(np.int64)
 
-    def band_rows(batch: pa.Table, band: int) -> pa.Table:
-        return pa.table({
-            "band_key": pc.add(pc.cast(batch[f"band{band}"], pa.int64()),
-                               pa.scalar(band << 32, type=pa.int64())),
-            "doc_id": batch["doc_id"],
-            "simhash": batch["simhash"],
-        })
+    def band_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"band_key": pa.array([], type=pa.int64()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "simhash": pa.array([], type=pa.uint64())})
+        h = batch["simhash"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        parts = []
+        for b in range(n_bands):
+            lo, width = int(bounds[b]), int(bounds[b + 1] - bounds[b])
+            mask = np.uint64((1 << width) - 1) if width < 64 \
+                else np.uint64(0xFFFFFFFFFFFFFFFF)
+            val = (h >> np.uint64(lo)) & mask
+            # mix (band, value) into one non-negative int64 key; a
+            # cross-band key collision only adds verification work
+            key = (_mix64(val + np.uint64(b) * _MIX_C1)
+                   >> np.uint64(1)).astype(np.int64)
+            parts.append(pa.table({"band_key": pa.array(key),
+                                   "doc_id": batch["doc_id"],
+                                   "simhash": batch["simhash"]}))
+        return pa.concat_tables(parts)
 
-    exploded = signed.map_batches(
-        lambda t: pa.concat_tables([band_rows(t, i) for i in range(4)]),
-        batch_format="pyarrow")
+    exploded = signed.map_batches(band_rows, batch_format="pyarrow")
     nb = resolve_buckets_pow2()
     exploded = exploded.map_batches(lambda t: t.append_column(
         "bucket", pc.cast(pc.bit_wise_and(t["band_key"], nb - 1), pa.int32())),
@@ -384,16 +461,15 @@ def jaccard_pairs(ds, *, threshold: float = 0.5, shingle_k: int = 3,
         ids, hs_list, ns = [], [], []
         for did, text in zip(batch[id_col].to_pylist(),
                              batch[text_col].to_pylist()):
-            sh = _word_shingles(text, shingle_k)
-            if not sh:
+            hv = _shingle_hashes(text, shingle_k)
+            if len(hv) == 0:
                 continue
             # signed view: survives the pandas round-trip inside
             # auto_join (object-int lists >= 2^63 break arrow
             # inference); the int64 sort order is a different — but
             # still fixed — total order, which is all prefix filtering
             # needs
-            hs = np.unique(np.array([_stable_hash64(s) for s in sh],
-                                    dtype=np.uint64).view(np.int64))
+            hs = np.unique(hv.view(np.int64))
             ids.append(did)
             hs_list.append(hs)
             ns.append(len(hs))
