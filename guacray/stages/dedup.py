@@ -173,15 +173,18 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16,
                       shingle_k: int = 3):
     """Near-dup candidate pairs via banded MinHash-LSH.
 
-    sign → explode (band_id, band_hash, doc_id, sig) → groupby band
-    bucket → within-bucket pair emission → estimated-Jaccard filter →
-    global pair dedup.  Output: doc_a, doc_b (a < b), est_jaccard.
+    sign → ids-only band explode (band_key, doc_id) → groupby band
+    bucket → linear candidate-pair emission → distinct pairs →
+    size-aware sig join-back → vectorized estimated-Jaccard verify.
+    Output: doc_a, doc_b (a < b), est_jaccard.
 
-    Scale notes: band explode multiplies rows by ``bands`` but each row
-    is (int, hash) — narrow.  The groupby key (band_id, band_hash) is
-    uniform unless many exact dups share a band; the within-bucket pair
-    loop caps group size (huge buckets ⇒ exact-dup cluster ⇒ pairs
-    against the min doc only, not all-pairs).
+    Scale notes: the band exchange shuffles 16 bytes per (doc, band) —
+    the 512-byte signatures stay OUT of the explode (carrying them
+    multiplies shuffle volume by ``bands``; they are joined back onto
+    the ~sparse candidate pairs instead, broadcast below the auto_join
+    threshold, hash-partitioned above).  The within-bucket pair loop is
+    linear in group size (anchor + adjacent-chain, never all-pairs), so
+    exact-dup mega-buckets emit O(n) candidates.
     """
     rows_per_band = num_perm // bands
 
@@ -189,64 +192,49 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16,
         n = batch.num_rows
         if n == 0:
             return pa.table({
-                "band_id": pa.array([], type=pa.int32()),
-                "band_hash": pa.array([], type=pa.int64()),
+                "band_key": pa.array([], type=pa.int64()),
                 "doc_id": pa.array([], type=pa.int64()),
-                "sig": pa.array([], type=pa.list_(pa.uint64())),
             })
         # matrix band combine: (n, bands, r) rolling polynomial + mix —
-        # no per-band tuple/repr/blake2b in Python
+        # no per-band tuple/repr/blake2b in Python; band index is mixed
+        # into the key (>>1 keeps it non-negative for the bucket mask)
         sig_mat = np.stack(batch["sig"].to_numpy(zero_copy_only=False)) \
             .astype(np.uint64).reshape(n, bands, rows_per_band)
-        acc = sig_mat[:, :, 0].copy()
+        acc = sig_mat[:, :, 0] + np.arange(bands, dtype=np.uint64) * _MIX_C2
         for j in range(1, rows_per_band):
             acc = acc * _ROLL_M + sig_mat[:, :, j]
-        # >>1 keeps band_hash in non-negative int64 (bucket mask below)
-        bh = (_mix64(acc) >> np.uint64(1)).astype(np.int64)
+        bk = (_mix64(acc) >> np.uint64(1)).astype(np.int64)
         idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
         return pa.table({
-            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-            "band_hash": pa.array(bh.reshape(-1)),
+            "band_key": pa.array(bk.reshape(-1)),
             "doc_id": batch["doc_id"].take(idx),
-            "sig": batch["sig"].take(idx),
         })
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        import pandas as pd
-        out_a, out_b, out_j = [], [], []
+    def bucket_candidates(group: pa.Table) -> pa.Table:
+        out_a, out_b = [], []
         df = group.to_pandas()
-        for (_, _), g in df.groupby(["band_id", "band_hash"]):
+        for _, g in df.groupby("band_key"):
             if len(g) < 2:
                 continue
-            g = g.sort_values("doc_id")
-            ids = g["doc_id"].to_numpy()
-            sigs = np.stack(g["sig"].to_numpy())
+            ids = np.unique(g["doc_id"].to_numpy())
+            if len(ids) < 2:
+                continue
             # anchor pairing vs the min doc PLUS adjacent-chain pairing:
             # both linear (never O(n²) on exact-dup mega-buckets), and
             # the chain recovers pairs where two near-dups each differ
             # from the anchor but not from each other — connected
             # components over the emitted pairs reconstruct clusters
-            est = (sigs[0:1] == sigs[1:]).mean(axis=1)
-            for i, e in enumerate(est, start=1):
-                if e >= threshold:
-                    out_a.append(int(ids[0]))
-                    out_b.append(int(ids[i]))
-                    out_j.append(float(e))
-            adj = (sigs[1:-1] == sigs[2:]).mean(axis=1)
-            for i, e in enumerate(adj, start=1):
-                if e >= threshold:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[i + 1]))
-                    out_j.append(float(e))
+            out_a.extend(int(ids[0]) for _ in ids[1:])
+            out_b.extend(int(i) for i in ids[1:])
+            out_a.extend(int(i) for i in ids[1:-1])
+            out_b.extend(int(i) for i in ids[2:])
         return pa.table({
             "doc_a": pa.array(out_a, type=pa.int64()),
             "doc_b": pa.array(out_b, type=pa.int64()),
-            "est_jaccard": pa.array(out_j, type=pa.float64()),
         })
 
     def pair_dedup(group: pa.Table) -> pa.Table:
-        return agg_by_name(group, ["doc_a", "doc_b"],
-                           [("est_jaccard", "max", "est_jaccard")])
+        return agg_by_name(group, ["doc_a", "doc_b"], [])
 
     # MinHasher's state is ~1 KB of permutation params — construct per
     # worker (cached) in stateless tasks; an actor pool's spin-up costs
@@ -262,21 +250,47 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16,
         return h(batch)
 
     nb = resolve_buckets_pow2()
-    signed = ds.map_batches(sign, batch_format="pyarrow")
+    # signed feeds both the band explode and the verify join-back —
+    # materialize so signing runs exactly once
+    signed = ds.map_batches(sign, batch_format="pyarrow").materialize()
     banded = signed.map_batches(to_bands, batch_format="pyarrow")
-    # coarse bucket on band_hash so each map_groups call is vectorized;
+    # coarse bucket on band_key so each map_groups call is vectorized;
     # bucket count scales with the cluster (resolve_buckets_pow2), never
     # a literal that caps reduce parallelism
     banded = banded.map_batches(lambda t: t.append_column(
-        "bucket", pc.cast(pc.bit_wise_and(t["band_hash"], nb - 1), pa.int32())),
+        "bucket", pc.cast(pc.bit_wise_and(t["band_key"], nb - 1), pa.int32())),
         batch_format="pyarrow")
-    pairs = banded.repartition(nb).groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pyarrow")
-    pairs = pairs.map_batches(lambda t: t.append_column(
+    cand = banded.repartition(nb).groupby("bucket").map_groups(
+        bucket_candidates, batch_format="pyarrow")
+    cand = cand.map_batches(lambda t: t.append_column(
         "bucket", pc.cast(pc.bit_wise_and(t["doc_a"], nb - 1), pa.int32())),
         batch_format="pyarrow")
-    return pairs.repartition(nb).groupby("bucket").map_groups(
+    pairs = cand.repartition(nb).groupby("bucket").map_groups(
         pair_dedup, batch_format="pyarrow")
+
+    # verify: join each side's signature back onto the distinct pairs
+    # (the est value is band-independent, so computing it once per pair
+    # here is exactly equivalent to the per-bucket filter it replaces)
+    from .agg import auto_join
+    pairs = auto_join(pairs, signed, on="doc_a", right_on="__ja",
+                      right_rename={"doc_id": "__ja", "sig": "sig_a"})
+    pairs = auto_join(pairs, signed, on="doc_b", right_on="__jb",
+                      right_rename={"doc_id": "__jb", "sig": "sig_b"})
+
+    def verify(df):
+        import pandas as pd
+        if not len(df):
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64"),
+                                 "est_jaccard": pd.Series(dtype="float64")})
+        est = (np.stack(df["sig_a"].to_numpy())
+               == np.stack(df["sig_b"].to_numpy())).mean(axis=1)
+        out = pd.DataFrame({"doc_a": df["doc_a"].to_numpy(),
+                            "doc_b": df["doc_b"].to_numpy(),
+                            "est_jaccard": est})
+        return out[out["est_jaccard"] >= threshold]
+
+    return pairs.map_batches(verify, batch_format="pandas")
 
 
 # ------------------------------------------------------------- simhash
