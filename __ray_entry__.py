@@ -244,6 +244,13 @@ def _kg_oracles() -> dict[str, str]:
             FROM read_parquet('{tri}')
             WHERE props <> '' GROUP BY predicate, props
         """,
+        "kg_degree_hist": f"""
+            WITH deg AS (
+                SELECT subj_id, COUNT(*) AS degree
+                FROM read_parquet('{edg}') GROUP BY subj_id)
+            SELECT degree, COUNT(*) AS n_nodes
+            FROM deg GROUP BY degree
+        """,
         # the 3-hop chain re-derived as a DuckDB self-join over the
         # canonical edges (searchForSBOM shape); props filter matches
         # edges_with_prop's '&'-padded needle
@@ -363,6 +370,16 @@ def _kg_affected_versions_sql() -> str:
     """
 
 
+def _kg_degree_hist(sf_dir: str):
+    """Graph degree distribution: out-degree per subject node, then the
+    histogram over degrees — two grouped exchanges, the second over a
+    handful of distinct degrees (SQL-checked against the edges table)."""
+    from guacray.stages.agg import grouped_agg
+    deg = grouped_agg(_kg_read(sf_dir, "edges"), ["subj_id"],
+                      [("edge_id", "count", "degree")])
+    return grouped_agg(deg, ["degree"], [("subj_id", "count", "n_nodes")])
+
+
 def _kg_edge_props(sf_dir: str):
     """Typed-edge-prop rollup: count canonical edges per (predicate,
     props) for prop-carrying edges (version on released, role on
@@ -416,6 +433,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_quantiles": R.lineitem_quantiles,
         "lineitem_quantiles_kll": R.lineitem_quantiles_kll,
         "top_order_per_customer": R.top_order_per_customer,
+        "orders_rank_window": R.orders_rank_window,
+        "region_rollup": R.region_rollup,
+        "customer_order_counts": R.customer_order_counts,
+        "events_type_stats": R.events_type_stats,
         "mention_topk": R.mention_topk,
         # training-data ops over documents (SQL-checked)
         "doc_exact_dedup": R.doc_exact_dedup,
@@ -424,6 +445,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_norm_fingerprint": R.doc_norm_fingerprint,
         "doc_lang_stats": R.doc_lang_stats,
         "doc_mentions": R.doc_mentions,
+        "doc_repeated_ngrams": R.doc_repeated_ngrams,
+        "doc_decontaminate": R.doc_decontaminate,
+        "users_click_and_purchase": R.users_click_and_purchase,
+        "users_click_not_purchase": R.users_click_not_purchase,
         # similarity search (SQL-checked brute force; LSH rows-only)
         "ann_brute_topk": R.ann_brute_topk,
         "embedding_label_counts": R.embedding_label_counts,
@@ -451,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_identifiers": _kg_identifiers,
         "kg_document_summary": _kg_doc_summary,
         "kg_edge_props": _kg_edge_props,
+        "kg_degree_hist": _kg_degree_hist,
         "kg_chain_3hop": _kg_chain_3hop,
         "kg_partner_components": _kg_partner_components,
         "kg_reachable": _kg_reachable,

@@ -33,6 +33,7 @@ from ..stages.agg import (auto_join, grouped_agg, semi_join,
 from ..stages.ann import brute_force_topk, lsh_topk, make_query_vector
 from ..stages.dedup import (exact_dedup, jaccard_pairs, minhash_lsh_pairs,
                             simhash_pairs)
+from ..stages.ngrams import decontaminate, repeated_ngrams
 from ..stages.quality import (lang_id, norm_fingerprint, quality_scores,
                               token_counts, winnow_fingerprints)
 
@@ -118,8 +119,10 @@ def top_orders_by_revenue(sf_dir: str):
         batch_format="pyarrow")
 
 
-def region_revenue(sf_dir: str):
-    """q5-ish: revenue by region/nation via a 3-dim broadcast join."""
+def _region_nation_agg(sf_dir: str):
+    """Finest-level (region, nation) revenue rollup input: 3-dim
+    broadcast join + grouped sum, UNROUNDED (shared by
+    ``region_revenue`` and ``region_rollup``)."""
     sup = pd.read_parquet(_t(sf_dir, "supplier"),
                           columns=["s_suppkey", "s_nationkey"])
     nat = pd.read_parquet(_t(sf_dir, "nation"))
@@ -140,9 +143,53 @@ def region_revenue(sf_dir: str):
         return batch.merge(ray.get(dim_ref),
                            left_on="l_suppkey", right_on="s_suppkey")
     joined = li.map_batches(merge_fn, batch_format="pandas")
-    out = grouped_agg(joined, ["r_name", "n_name"], [
+    return grouped_agg(joined, ["r_name", "n_name"], [
         ("revenue_item", "sum", "revenue"),
         ("l_suppkey", "count", "n_items")])
+
+
+def region_revenue(sf_dir: str):
+    """q5-ish: revenue by region/nation via a 3-dim broadcast join."""
+    out = _region_nation_agg(sf_dir)
+    return out.map_batches(_round_cols(2, "revenue"), batch_format="pyarrow")
+
+
+def region_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(r_name, n_name): (region, nation) revenue plus
+    region subtotals and the grand total in one result ('ALL' filler).
+
+    Scale shape: only the FINEST level aggregates the fact table; the
+    coarser levels re-aggregate the (tiny) finest result — subtotals
+    never re-scan lineitem, the hierarchical-re-aggregation plan for
+    rollup/cube.  Rounding applies once, per emitted row, after all
+    re-aggregation (matching SQL's per-rollup-row round of the
+    full-precision sum)."""
+    cols = ["r_name", "n_name", "revenue", "n_items"]
+    finest = _region_nation_agg(sf_dir).materialize()
+    respec = [("revenue", "sum", "revenue"), ("n_items", "sum", "n_items")]
+
+    def fill(name_cols: dict[str, str | None]):
+        def fn(t: pa.Table) -> pa.Table:
+            arrs = {}
+            for c in cols:
+                src = name_cols.get(c, c)
+                arrs[c] = (pa.array(["ALL"] * t.num_rows, pa.string())
+                           if src is None else t[src])
+            return pa.table(arrs)
+        return fn
+
+    lvl2 = finest.map_batches(fill({}), batch_format="pyarrow")
+    lvl1 = grouped_agg(finest, ["r_name"], respec) \
+        .map_batches(fill({"n_name": None}), batch_format="pyarrow")
+    const = finest.map_batches(
+        lambda t: pa.table({"k": pa.array(["ALL"] * t.num_rows),
+                            "revenue": t["revenue"],
+                            "n_items": t["n_items"]}),
+        batch_format="pyarrow")
+    lvl0 = grouped_agg(const, ["k"], respec) \
+        .map_batches(fill({"r_name": "k", "n_name": None}),
+                     batch_format="pyarrow")
+    out = lvl2.union(lvl1).union(lvl0)
     return out.map_batches(_round_cols(2, "revenue"), batch_format="pyarrow")
 
 
@@ -209,6 +256,33 @@ def segment_order_stats(sf_dir: str):
     return out.map_batches(_round_cols(2, "revenue"), batch_format="pyarrow")
 
 
+def customer_order_counts(sf_dir: str):
+    """LEFT OUTER JOIN + aggregate, expressed join-free as a tagged
+    UNION + grouped sum: every customer contributes a zero partial,
+    every order a (1, price) partial — ONE exchange, nothing broadcast,
+    both sides stream (the at-scale plan for outer aggregate joins).
+    Assumes the FK holds (every o_custkey exists in customer), which
+    LEFT JOIN semantics require anyway for these columns."""
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_custkey", "o_totalprice"])
+    zeros = cust.map_batches(
+        lambda t: pa.table({
+            "c_custkey": t["c_custkey"],
+            "cnt": pa.array(np.zeros(t.num_rows, np.int64)),
+            "price": pa.array(np.zeros(t.num_rows, np.float64))}),
+        batch_format="pyarrow")
+    part = orders.map_batches(
+        lambda t: pa.table({
+            "c_custkey": t["o_custkey"],
+            "cnt": pa.array(np.ones(t.num_rows, np.int64)),
+            "price": pc.cast(t["o_totalprice"], pa.float64())}),
+        batch_format="pyarrow")
+    out = grouped_agg(zeros.union(part), ["c_custkey"], [
+        ("cnt", "sum", "n_orders"), ("price", "sum", "revenue")])
+    return out.map_batches(_round_cols(2, "revenue"), batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------ events
 
 def events_hourly(sf_dir: str):
@@ -234,6 +308,92 @@ def events_user_topk(sf_dir: str, k: int = 20):
     out = out.map_batches(_round_cols(2, "total_value"),
                           batch_format="pyarrow")
     return topk(out, ["total_value", "user_id"], [True, False], k)
+
+
+def _user_set_flags(sf_dir: str, big_purchase: float = 200.0):
+    """Per-user presence flags for two row predicates (clicked; made a
+    purchase above the threshold) — one exchange of (user, flag, flag)
+    partials; INTERSECT/EXCEPT finish locally on the grouped result."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type", "value"])
+    thr = pa.scalar(big_purchase, type=pa.float64())
+
+    def flags(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "fa": pc.cast(pc.equal(t["event_type"], pa.scalar("click")),
+                          pa.int64()),
+            "fb": pc.cast(pc.and_(
+                pc.equal(t["event_type"], pa.scalar("purchase")),
+                pc.greater(pc.cast(t["value"], pa.float64()), thr)),
+                pa.int64())})
+
+    return grouped_agg(ds.map_batches(flags, batch_format="pyarrow"),
+                       ["user_id"],
+                       [("fa", "max", "fa"), ("fb", "max", "fb")])
+
+
+def _flag_select(out, want_fb: int):
+    one = pa.scalar(1, pa.int64())
+    fb = pa.scalar(want_fb, pa.int64())
+    return out.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t["fa"], one),
+                                   pc.equal(t["fb"], fb)))
+                   .select(["user_id"]),
+        batch_format="pyarrow")
+
+
+def users_click_and_purchase(sf_dir: str):
+    """Distributed INTERSECT: users with both a click and a >200
+    purchase — set-ops as one flag-aggregation exchange, never a
+    shuffle join."""
+    return _flag_select(_user_set_flags(sf_dir), 1)
+
+
+def users_click_not_purchase(sf_dir: str):
+    """Distributed EXCEPT: users who clicked but never made a >200
+    purchase."""
+    return _flag_select(_user_set_flags(sf_dir), 0)
+
+
+def events_type_stats(sf_dir: str):
+    """Distributed second-moment statistics via MERGEABLE MOMENTS: each
+    batch contributes (n, Σx, Σx², Σy, Σy², Σxy) partials and stddev /
+    correlation finish from the merged sums — the one-pass shape for
+    distributed stats (no per-group row collection, one exchange of
+    6-number partials)."""
+    from ..functions.rounding import np_round_half_away
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["value"], pa.float64())
+        y = pc.cast(t["user_id"], pa.float64())
+        return pa.table({"event_type": t["event_type"], "x": x,
+                         "x2": pc.multiply(x, x), "y": y,
+                         "y2": pc.multiply(y, y), "xy": pc.multiply(x, y)})
+
+    out = grouped_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                      ["event_type"], [
+        ("x", "count", "n"), ("x", "sum", "sx"), ("x2", "sum", "sx2"),
+        ("y", "sum", "sy"), ("y2", "sum", "sy2"), ("xy", "sum", "sxy")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy().astype(np.float64)
+        sx, sx2 = t["sx"].to_numpy(), t["sx2"].to_numpy()
+        sy, sy2 = t["sy"].to_numpy(), t["sy2"].to_numpy()
+        sxy = t["sxy"].to_numpy()
+        vx, vy = sx2 - sx * sx / n, sy2 - sy * sy / n
+        return pa.table({
+            "event_type": t["event_type"], "n": t["n"],
+            "avg_value": pa.array(np_round_half_away(sx / n, 4)),
+            "sd_value": pa.array(np_round_half_away(
+                np.sqrt(vx / (n - 1)), 4)),
+            "corr_value_user": pa.array(np_round_half_away(
+                (sxy - sx * sy / n) / np.sqrt(vx * vy), 4)),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def events_sessions(sf_dir: str, gap_minutes: int = 30, num_buckets: int | None = None):
@@ -292,6 +452,44 @@ def top_order_per_customer(sf_dir: str, num_buckets: int | None = None):
         return out[["o_custkey", "o_orderkey", "o_totalprice"]]
 
     return ds.groupby("bucket").map_groups(top1, batch_format="pandas")
+
+
+def orders_rank_window(sf_dir: str, num_buckets: int | None = None):
+    """The full rank-window family in one pass: RANK / DENSE_RANK over
+    (o_totalprice DESC) and ROW_NUMBER / NTILE(4) over (o_totalprice
+    DESC, o_orderkey), partitioned by customer.  Same distributed shape
+    as the other windows: hash-bucket by key, vectorized pandas ranks
+    per bucket (one Python call per bucket, never per group)."""
+    from ..stages.canonicalize import resolve_buckets_pow2
+    num_buckets = resolve_buckets_pow2(num_buckets)
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    ds = ds.map_batches(
+        lambda t: t.append_column("bucket", pc.cast(
+            pc.bit_wise_and(t["o_custkey"], num_buckets - 1), pa.int32())),
+        batch_format="pyarrow")
+
+    def ranks(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True])
+        g = df.groupby("o_custkey", sort=False)
+        df["rnk"] = g["o_totalprice"].rank(
+            method="min", ascending=False).astype("int64")
+        df["drnk"] = g["o_totalprice"].rank(
+            method="dense", ascending=False).astype("int64")
+        rn = (g.cumcount() + 1).to_numpy()
+        df["rn"] = rn
+        n = g["o_orderkey"].transform("size").to_numpy()
+        # SQL NTILE(4): the first n%4 tiles get ceil(n/4) rows, the
+        # rest floor(n/4) — derived from row_number, fully vectorized
+        q, r = n // 4, n % 4
+        head = r * (q + 1)
+        df["tile"] = np.where(
+            rn <= head, (rn - 1) // np.maximum(q + 1, 1),
+            r + (rn - head - 1) // np.maximum(q, 1)) + 1
+        return df[["o_custkey", "o_orderkey", "rnk", "drnk", "rn", "tile"]]
+
+    return ds.groupby("bucket").map_groups(ranks, batch_format="pandas")
 
 
 def events_gap_us(sf_dir: str, num_buckets: int | None = None):
@@ -626,6 +824,31 @@ def doc_mentions(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def doc_repeated_ngrams(sf_dir: str, k: int = 3, min_docs: int = 3):
+    """Boilerplate mining: word-3-grams occurring in >= 3 distinct
+    docs — the template-text detection primitive (SQL-checked)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return repeated_ngrams(ds, k=k, min_docs=min_docs)
+
+
+def doc_decontaminate(sf_dir: str, k: int = 3, modulus: int = 50):
+    """Benchmark decontamination: per-doc count of word-3-grams shared
+    with the held-out 'benchmark' slice (doc_id % 50 == 0, a
+    deterministic stand-in for an eval suite).  The benchmark gram set
+    broadcasts; the corpus streams (SQL-checked)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def split(keep_bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = (t["doc_id"].to_numpy() % modulus) == 0
+            return t.filter(pa.array(m if keep_bench else ~m))
+        return fn
+
+    bench = ds.map_batches(split(True), batch_format="pyarrow")
+    corpus = ds.map_batches(split(False), batch_format="pyarrow")
+    return decontaminate(corpus, bench, k=k)
+
+
 def doc_minhash_pairs(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return minhash_lsh_pairs(ds)
@@ -945,6 +1168,42 @@ SQL: dict[str, str] = {
             FROM orders)
         WHERE rn = 1
     """,
+    "customer_order_counts": """
+        SELECT c_custkey, count(o_orderkey) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0), 2) AS revenue
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    """,
+    "events_type_stats": """
+        SELECT event_type, count(*) AS n,
+               round(avg(value), 4) AS avg_value,
+               round(stddev_samp(value), 4) AS sd_value,
+               round(corr(value, user_id), 4) AS corr_value_user
+        FROM events GROUP BY event_type
+    """,
+    "users_click_and_purchase": """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 200
+    """,
+    "users_click_not_purchase": """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 200
+    """,
+    "orders_rank_window": """
+        SELECT o_custkey, o_orderkey,
+               CAST(rank() OVER wp AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER wp AS BIGINT) AS drnk,
+               CAST(row_number() OVER wf AS BIGINT) AS rn,
+               CAST(ntile(4) OVER wf AS BIGINT) AS tile
+        FROM orders
+        WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
+               wf AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey)
+    """,
     "events_gap_us": """
         SELECT event_id, user_id,
                coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER
@@ -1048,6 +1307,43 @@ SQL: dict[str, str] = {
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         SELECT doc_a, doc_b, round(i * 1.0 / (na + nb - i), 6) AS jaccard
         FROM cand WHERE i * 1.0 / (na + nb - i) >= 0.5
+    """,
+    "region_rollup": """
+        SELECT COALESCE(r_name, 'ALL') AS r_name,
+               COALESCE(n_name, 'ALL') AS n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+    """,
+    # single-space split == the engine's split_pattern(' ') tokenizer;
+    # DISTINCT inside `ng` == the engine's per-document gram dedup
+    "doc_repeated_ngrams": """
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), ng AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS ngram
+            FROM words,
+                 LATERAL unnest(generate_series(1, len(w) - 2)) AS t(i))
+        SELECT ngram, count(*) AS n_docs
+        FROM ng GROUP BY ngram HAVING count(*) >= 3
+    """,
+    "doc_decontaminate": """
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), ng AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS ngram
+            FROM words,
+                 LATERAL unnest(generate_series(1, len(w) - 2)) AS t(i)
+        ), bench AS (
+            SELECT DISTINCT ngram FROM ng WHERE doc_id % 50 = 0)
+        SELECT g.doc_id, count(*) AS n_hits
+        FROM ng g JOIN bench USING (ngram)
+        WHERE g.doc_id % 50 <> 0
+        GROUP BY g.doc_id
     """,
     "doc_token_counts": r"""
         SELECT doc_id,

@@ -657,3 +657,64 @@ def test_simhash_mega_cluster_linear_pairs():
     ids = set(pairs["doc_a"]) | set(pairs["doc_b"])
     assert ids == set(range(n))             # cluster fully covered
     assert (pairs["hamming"] == 0).all()
+
+
+def test_ngram_explode_matches_brute_force():
+    from guacray.stages.ngrams import ngram_explode
+    texts = ["a b c d a b c", "a b", "x y z", "", "q q q q"]
+    ds = _docs(texts)
+    got = set(map(tuple, ngram_explode(ds, 3).to_pandas()
+                  [["doc_id", "ngram"]].itertuples(index=False)))
+    want = set()
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        for j in range(len(w) - 2):
+            want.add((i, " ".join(w[j:j + 3])))
+    assert got == want  # distinct per doc, no cross-doc windows
+
+
+def test_repeated_ngrams_and_decontaminate():
+    from guacray.stages.ngrams import decontaminate, repeated_ngrams
+    texts = ["common gram here plus one", "common gram here plus two",
+             "common gram here and more", "totally different text body",
+             "benchmark only gram here now"]
+    ds = _docs(texts)
+    rep = repeated_ngrams(ds, k=3, min_docs=3).to_pandas()
+    assert dict(zip(rep["ngram"], rep["n_docs"])) == {"common gram here": 3}
+    # benchmark = doc 0; doc 1 shares "common gram here" AND
+    # "gram here plus", doc 2 only "common gram here", doc 3 nothing
+    bench = _docs([texts[0]])
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(texts[1:4], type=pa.string())}))
+    hits = decontaminate(corpus, bench, k=3).to_pandas()
+    assert dict(zip(hits["doc_id"], hits["n_hits"])) == {1: 2, 2: 1}
+
+
+def test_orders_rank_window_ntile_matches_duckdb():
+    import duckdb
+    from guacray.pipelines.relational import orders_rank_window
+    # group sizes 1..6 cover every NTILE(4) remainder case
+    rows = [(c, c * 100 + i, float((c * 37 + i * 13) % 7))
+            for c in range(1, 7) for i in range(c)]
+    df = pd.DataFrame(rows, columns=["o_custkey", "o_orderkey",
+                                     "o_totalprice"])
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(f"{d}/orders.parquet")
+        got = orders_rank_window(d).to_pandas() \
+            .sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("orders", df)
+    want = con.execute("""
+        SELECT o_custkey, o_orderkey,
+               CAST(rank() OVER wp AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER wp AS BIGINT) AS drnk,
+               CAST(row_number() OVER wf AS BIGINT) AS rn,
+               CAST(ntile(4) OVER wf AS BIGINT) AS tile
+        FROM orders
+        WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
+               wf AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_custkey, o_orderkey""").df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
