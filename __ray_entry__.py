@@ -244,6 +244,21 @@ def _kg_oracles() -> dict[str, str]:
             FROM read_parquet('{tri}')
             WHERE props <> '' GROUP BY predicate, props
         """,
+        # incremental (two-increment) store must equal the batch
+        # rebuild — same oracle derivation as kg_edges
+        "kg_incremental_edges": f"""
+            SELECT edge_id,
+                   MIN(CASE WHEN predicate IN ({sym}) AND obj_id < subj_id
+                            THEN obj_id ELSE subj_id END) AS subj_id,
+                   MIN(predicate) AS predicate,
+                   MIN(CASE WHEN predicate IN ({sym}) AND obj_id < subj_id
+                            THEN subj_id ELSE obj_id END) AS obj_id,
+                   MIN(props) AS props,
+                   MIN(warc_ts) AS first_seen,
+                   COUNT(*) AS n_evidence,
+                   MIN(predicate) IN ({sym}) AS undirected
+            FROM read_parquet('{tri}') GROUP BY edge_id
+        """,
         "kg_degree_hist": f"""
             WITH deg AS (
                 SELECT subj_id, COUNT(*) AS degree
@@ -370,6 +385,40 @@ def _kg_affected_versions_sql() -> str:
     """
 
 
+_inc_cache: dict[str, str] = {}
+
+
+def _kg_incremental_edges(sf_dir: str):
+    """Edges of an INCREMENTAL store built from the same pages fixture
+    in two increments (first half, then second half) — SQL-checked
+    against the batch checkpoint's edge derivation, i.e. the driver
+    verifies delta-merge ≡ batch rebuild (pipelines/increment.py; the
+    MergedIngest streaming-upsert analog)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from guacray.pipelines.increment import (ingest_increment,
+                                             init_incremental,
+                                             read_graph_table)
+    key = _pages_path(sf_dir)
+    if key not in _inc_cache:
+        d = _store_dir(sf_dir) + "_inc"
+        shutil.rmtree(d, ignore_errors=True)
+        t = pq.read_table(key)
+        half = t.num_rows // 2
+        halves = []
+        for name, tbl in (("a", t.slice(0, half)), ("b", t.slice(half))):
+            p = os.path.join(tempfile.gettempdir(),
+                             f"guacray_incpages_{t.num_rows}_{name}.parquet")
+            pq.write_table(tbl, p)
+            halves.append(p)
+        init_incremental(halves[0], d)
+        ingest_increment(halves[1], d)
+        _inc_cache[key] = d
+    return read_graph_table(_inc_cache[key], "edges")
+
+
 def _kg_degree_hist(sf_dir: str):
     """Graph degree distribution: out-degree per subject node, then the
     histogram over degrees — two grouped exchanges, the second over a
@@ -477,6 +526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_document_summary": _kg_doc_summary,
         "kg_edge_props": _kg_edge_props,
         "kg_degree_hist": _kg_degree_hist,
+        "kg_incremental_edges": _kg_incremental_edges,
         "kg_chain_3hop": _kg_chain_3hop,
         "kg_partner_components": _kg_partner_components,
         "kg_reachable": _kg_reachable,
