@@ -56,6 +56,20 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--resumable", action="store_true",
                    help="per-input-file partitions with manifest/resume")
 
+    ii = sub.add_parser("ingest-init",
+                        help="initialize an INCREMENTAL graph store "
+                             "(bucket-partitioned tables)")
+    ii.add_argument("pages")
+    ii.add_argument("out_dir")
+    ii.add_argument("--num-buckets", type=int, default=None)
+
+    ia = sub.add_parser("ingest-add",
+                        help="merge new pages into an incremental store "
+                             "(delta-only; replay of the same input is "
+                             "a no-op)")
+    ia.add_argument("pages")
+    ia.add_argument("out_dir")
+
     e = sub.add_parser("enrich", help="certifier pass over the graph")
     e.add_argument("out_dir")
     e.add_argument("--node-type", default="org")
@@ -110,6 +124,17 @@ def main(argv: list[str] | None = None) -> int:
         else:
             counts = run_kg(files[0], out_dir)
         print(json.dumps(counts))
+        return 0
+
+    if args.cmd == "ingest-init":
+        from .pipelines.increment import init_incremental
+        print(json.dumps(init_incremental(args.pages, args.out_dir,
+                                          num_buckets=args.num_buckets)))
+        return 0
+
+    if args.cmd == "ingest-add":
+        from .pipelines.increment import ingest_increment
+        print(json.dumps(ingest_increment(args.pages, args.out_dir)))
         return 0
 
     if args.cmd == "unpack":

@@ -92,3 +92,19 @@ def test_cli_unpack(tmp_path, capsys):
     rows = [json.loads(l) for l in
             capsys.readouterr().out.strip().splitlines()]
     assert len(rows) == 2 and all(r["depth"] == 2 for r in rows)
+
+
+def test_cli_incremental_ingest(tmp_path, capsys):
+    t = generate_pages(192)
+    a, b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(t.slice(0, 128), a)
+    pq.write_table(t.slice(128), b)
+    store = str(tmp_path / "inc_store")
+    assert main(["ingest-init", a, store]) == 0
+    r0 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main(["ingest-add", b, store]) == 0
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["skipped"] is False and r1["edges"] >= r0["edges"]
+    assert main(["ingest-add", b, store]) == 0  # replay → no-op
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["skipped"] is True and r2["edges"] == r1["edges"]
