@@ -47,6 +47,28 @@ class GraphStore:
         ev = os.path.join(out_dir, "evidence")
         self.evidence_path = ev if os.path.isdir(ev) \
             else os.path.join(out_dir, "triples")
+        # incremental stores (pipelines/increment.py) are hive-
+        # partitioned by shuffle bucket; prune the partition column at
+        # every read so the query surface sees the canonical schema
+        self._incremental = os.path.exists(
+            os.path.join(self.edges_path, "_applied.json"))
+
+    def _guard_mutation(self):
+        """Deletes rewrite whole tables as flat parquet; on an
+        incremental store that would destroy the bucket layout and the
+        applied-increments ledger, silently corrupting later
+        ``ingest_increment`` merges — refuse loudly instead."""
+        if self._incremental:
+            raise NotImplementedError(
+                "delete on an incremental store is not supported; "
+                "rebuild via init_incremental or use a batch store")
+
+    def _read_nodes(self, flt=None, columns=None):
+        if columns is None and self._incremental:
+            from .. import schemas
+            columns = [f.name for f in schemas.NODES]
+        return rd.read_parquet(self.nodes_path, filter=flt,
+                               columns=columns)
 
     # ---------------------------------------------------------- lookups
 
@@ -61,7 +83,7 @@ class GraphStore:
         if node_key is not None:
             f2 = pc.field("node_key") == node_key
             flt = f2 if flt is None else flt & f2
-        ds = rd.read_parquet(self.nodes_path, filter=flt)
+        ds = self._read_nodes(flt)
         if name_substr is not None:
             pat = name_substr
             ds = ds.map_batches(
@@ -78,12 +100,11 @@ class GraphStore:
             m = pc.or_(pc.match_substring(t["name"], pat, ignore_case=True),
                        pc.match_substring(t["node_key"], pat, ignore_case=True))
             return t.filter(m)
-        return rd.read_parquet(self.nodes_path).map_batches(
+        return self._read_nodes().map_batches(
             fn, batch_format="pyarrow")
 
     def node_by_id(self, node_id: str):
-        return rd.read_parquet(self.nodes_path,
-                               filter=pc.field("node_id") == node_id)
+        return self._read_nodes(pc.field("node_id") == node_id)
 
     # -------------------------------------------------------- neighbors
 
@@ -102,7 +123,12 @@ class GraphStore:
             if predicates:
                 p = pc.field("predicate").isin(predicates)
                 flt = p if flt is None else flt & p
-            return rd.read_parquet(self.edges_path, filter=flt)
+            cols = None
+            if self._incremental:
+                from .. import schemas
+                cols = [f.name for f in schemas.EDGES]
+            return rd.read_parquet(self.edges_path, filter=flt,
+                                   columns=cols)
         wanted = predicates or [d.split("=", 1)[1] for d in subdirs]
         parts = []
         for pred in wanted:
@@ -328,7 +354,7 @@ class GraphStore:
             padded = pc.binary_join_element_wise(amp, t["qualifiers"],
                                                  amp, "")
             return t.filter(pc.match_substring(padded, needle))
-        return rd.read_parquet(self.nodes_path).map_batches(
+        return self._read_nodes().map_batches(
             fn, batch_format="pyarrow")
 
     def equivalence_class(self, node_id: str,
@@ -383,7 +409,7 @@ class GraphStore:
             return t.filter(pa.array(keep))
 
         flt = pc.field("node_type") == node_type
-        return rd.read_parquet(self.nodes_path, filter=flt).map_batches(
+        return self._read_nodes(flt).map_batches(
             fn, batch_format="pyarrow")
 
     def components(self, predicate: str = "partnered_with"):
@@ -447,7 +473,7 @@ class GraphStore:
         flt = pc.field("node_id") > after_node_id
         if node_type is not None:
             flt = flt & (pc.field("node_type") == node_type)
-        ds = rd.read_parquet(self.nodes_path, filter=flt)
+        ds = self._read_nodes(flt)
 
         # per-block local head(limit+1) first: the global sort then
         # touches O(limit × blocks) rows, never the whole node table —
@@ -474,6 +500,7 @@ class GraphStore:
         from ..pipelines.kg import write_table
         from .. import schemas
 
+        self._guard_mutation()
         ids = pa.array(sorted(set(edge_ids)))
         ref = ray.put(ids)
         before = rd.read_parquet(self.edges_path).count()
@@ -510,6 +537,7 @@ class GraphStore:
         from ..pipelines.kg import write_table
         from .. import schemas
 
+        self._guard_mutation()
         # collect the incident edge ids first (small: one node's edges)
         incident = self.neighbors(node_id).select_columns(["edge_id"]) \
             .to_pandas()["edge_id"].tolist()
@@ -523,13 +551,13 @@ class GraphStore:
             drop_edges, batch_format="pyarrow")
         write_table(remaining_edges, self.edges_path, schemas.EDGES)
 
-        nodes_before = rd.read_parquet(self.nodes_path).count()
-        remaining_nodes = rd.read_parquet(self.nodes_path).map_batches(
+        nodes_before = self._read_nodes().count()
+        remaining_nodes = self._read_nodes().map_batches(
             lambda t: t.filter(pc.invert(pc.equal(t["node_id"],
                                                   pa.scalar(node_id)))),
             batch_format="pyarrow")
         write_table(remaining_nodes, self.nodes_path, schemas.NODES)
-        nodes_removed = nodes_before - rd.read_parquet(self.nodes_path).count()
+        nodes_removed = nodes_before - self._read_nodes().count()
 
         log = os.path.join(os.path.dirname(self.edges_path),
                            "_tombstones.jsonl")

@@ -100,3 +100,33 @@ def test_increment_untouched_buckets_hardlinked(tmp_path):
     assert untouched, "a 2-page delta must leave buckets untouched"
     for b in untouched:  # hardlinked: same inodes, zero rewrite
         assert after[b] == before[b]
+
+
+def test_graphstore_over_incremental_store(tmp_path):
+    import pytest
+
+    from guacray.query.graph import GraphStore
+    p = _split_pages(tmp_path, n=256, cut=128)
+    store, ref = str(tmp_path / "store"), str(tmp_path / "ref")
+    init_incremental(p["a"], store, num_buckets=32)
+    ingest_increment(p["b"], store)
+    run_kg(p["full"], ref, num_buckets=32)
+    inc, bat = GraphStore(store), GraphStore(ref)
+    # the whole read surface sees the canonical schema (hive bucket
+    # column pruned) and matches the batch store value for value
+    f_inc = _table_df(inc.find_nodes("acme"), "node_id")
+    f_bat = _table_df(bat.find_nodes("acme"), "node_id")
+    pd.testing.assert_frame_equal(f_inc, f_bat)
+    seed = f_inc["node_id"].iloc[0]
+    assert inc.reachable(seed, direction="out", max_depth=4) == \
+        bat.reachable(seed, direction="out", max_depth=4)
+    n_inc = _table_df(inc.neighbors(seed), "edge_id")
+    n_bat = _table_df(bat.neighbors(seed), "edge_id")
+    pd.testing.assert_frame_equal(n_inc, n_bat)
+    # evidence view over the increment partitions, canonical columns
+    ev = inc.evidence_for_edge(n_inc["edge_id"].iloc[0]).to_pandas()
+    assert list(ev.columns) == GraphStore.EVIDENCE_COLS
+    assert len(ev) >= 1
+    # destructive rewrites are refused on the incremental layout
+    with pytest.raises(NotImplementedError):
+        inc.delete_node(seed)
