@@ -214,6 +214,16 @@ def init_incremental(pages_path, out_dir: str, *,
     return {"increment": inc, **table_counts(out_dir)}
 
 
+def _delta_pool_size(files: list[str]):
+    """Actor-pool bound for a DELTA: autoscaling sized to the increment
+    (~4k pages per actor), not to the cluster — spawning a cluster-wide
+    pool for a small delta costs more than the extraction itself."""
+    rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    import ray
+    cap = max(1, int(ray.cluster_resources().get("CPU", 16)) - 2)
+    return (1, max(1, min(cap, rows // 4096 + 1)))
+
+
 def ingest_increment(pages_path, out_dir: str, *,
                      link_concurrency=None) -> dict:
     """Merge new pages into an existing incremental store.
@@ -221,7 +231,11 @@ def ingest_increment(pages_path, out_dir: str, *,
     Only the bucket partitions the delta's content-hash ids land in are
     read and rewritten; the rest of the graph is untouched.  Replaying
     an already-applied increment (same input-file list) is a no-op.
+    Returns per-phase wall times alongside the table counts (the
+    metrics half of the per-partition lineage+metrics contract).
     """
+    import time
+
     edges_dir = os.path.join(out_dir, "edges")
     nodes_dir = os.path.join(out_dir, "nodes")
     ledger = _read_ledger(edges_dir)  # edges ledger = commit marker
@@ -233,19 +247,35 @@ def ingest_increment(pages_path, out_dir: str, *,
 
     # 1. delta triples → durable checkpoint partition (evidence grows
     #    append-only; atomic overwrite makes a crash-rerun idempotent)
+    t0 = time.time()
     alias_ref = broadcast_alias_map(seed)
+    if link_concurrency is None:
+        link_concurrency = _delta_pool_size(files)
     tri_dir = os.path.join(out_dir, "triples", f"increment={inc}")
     write_table(linked_triples(read_parquet_fast(files), alias_ref,
                                link_concurrency),
                 tri_dir, schemas.TRIPLES, min_rows_per_file=200_000)
+    t_extract = time.time() - t0
 
-    # 2. canonicalize the DELTA alone (increment-size exchange)
+    # 2. canonicalize the DELTA alone.  The exchange width scales to
+    #    the INCREMENT (~200k triples per bucket), not the cluster —
+    #    the store's bucket ids are stamped afterwards and are
+    #    independent of the delta exchange's shuffle buckets.  The
+    #    bucket-stamped views stay lazy: graph_tables already
+    #    materialized the canonical delta, so the projections re-run
+    #    from memory for _touched and the merge alike.
+    t0 = time.time()
     tri = read_parquet_fast(tri_dir, columns=CANON_COLS)
-    d_nodes, d_edges = graph_tables(tri, nb)
+    n_delta_rows = sum(
+        pq.ParquetFile(os.path.join(tri_dir, f)).metadata.num_rows
+        for f in os.listdir(tri_dir) if f.endswith(".parquet"))
+    delta_nb = min(nb, n_delta_rows // 200_000 + 1)
+    d_nodes, d_edges = graph_tables(tri, delta_nb)
     d_nodes = d_nodes.map_batches(_with_bucket("node_id", nb),
-                                  batch_format="pyarrow").materialize()
+                                  batch_format="pyarrow")
     d_edges = d_edges.map_batches(_with_bucket("edge_id", nb),
-                                  batch_format="pyarrow").materialize()
+                                  batch_format="pyarrow")
+    t_canon = time.time() - t0
 
     new_ledger = dict(ledger)
     new_ledger["applied"] = ledger["applied"] + [inc]
@@ -257,7 +287,9 @@ def ingest_increment(pages_path, out_dir: str, *,
     #    merge is idempotent; the edges swap commits the increment)
     plans = (("nodes", nodes_dir, d_nodes, _merge_nodes, node_cols),
              ("edges", edges_dir, d_edges, _merge_edges, edge_cols))
-    stats = {}
+    stats = {"sec_extract": round(t_extract, 2),
+             "sec_canonicalize": round(t_canon, 2)}
+    t0 = time.time()
     for name, d, delta, merge_fn, cols in plans:
         touched = _touched(delta)
         live = [f for b in sorted(touched) for f in _bucket_files(d, b)]
@@ -279,5 +311,6 @@ def ingest_increment(pages_path, out_dir: str, *,
                                         batch_format="pyarrow")
         _swap_table(d, merged, touched, new_ledger, cols)
         stats[f"touched_{name}_buckets"] = len(touched)
+    stats["sec_merge"] = round(time.time() - t0, 2)
     return {"increment": inc, "skipped": False, **stats,
             **table_counts(out_dir)}
