@@ -29,18 +29,25 @@ import ray.data as rd
 
 from ..stages.agg import semi_join
 from ..stages.dedup import exact_dedup, minhash_lsh_pairs
+from ..stages.ngrams import decontaminate
 from ..stages.quality import quality_scores_batch
 
 
 def curate(sf_dir: str, *, allow_langs=("en", "es", "de", "fr"),
            min_quality: float = 0.3, near_dup_threshold: float = 0.6,
            sample_fraction: float | None = None, seed: int = 7,
-           shuffle: bool = False):
+           shuffle: bool = False, decontam_modulus: int | None = None,
+           decontam_ngram: int = 3):
     """documents → curated Dataset (doc_id, text, lang).
 
-    keep = lang-gate ∩ quality-gate ∩ exact-canonical − near-dup-dropped,
-    expressed as three chained semi joins and one anti join over
-    id-keyed decision Datasets.
+    keep = lang-gate ∩ quality-gate ∩ exact-canonical
+           [− benchmark-contaminated] − near-dup-dropped,
+    expressed as chained semi joins and anti joins over id-keyed
+    decision Datasets.  ``decontam_modulus`` switches on the
+    benchmark-decontamination gate: docs with ``doc_id %% modulus == 0``
+    stand in for the eval suite; they AND every doc sharing a
+    ``decontam_ngram``-gram with them are dropped (the benchmark gram
+    set broadcasts; the corpus side streams).
     """
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text", "lang"])
@@ -81,6 +88,24 @@ def curate(sf_dir: str, *, allow_langs=("en", "es", "de", "fr"),
     # the cheap gates and the expensive near-dup stage.
     survivors = semi_join(docs, keep_lang_q, on="doc_id")
     survivors = semi_join(survivors, canon, on="doc_id").materialize()
+
+    # 3b. (optional) benchmark decontamination: the benchmark slice is
+    # drawn from the RAW corpus (an eval suite is external — it is not
+    # subject to the training-data quality gates), and both it and
+    # every survivor sharing an n-gram with it are anti-joined away
+    if decontam_modulus is not None:
+        def bench_rows(t: pa.Table) -> pa.Table:
+            m = (t["doc_id"].to_numpy() % decontam_modulus) == 0
+            return t.filter(pa.array(m))
+        bench = docs.map_batches(bench_rows, batch_format="pyarrow")
+        hits = decontaminate(survivors, bench, k=decontam_ngram) \
+            .select_columns(["doc_id"])
+        survivors = semi_join(survivors, hits, on="doc_id",
+                              anti=True)
+        survivors = survivors.map_batches(
+            lambda t: t.filter(pa.array(
+                (t["doc_id"].to_numpy() % decontam_modulus) != 0)),
+            batch_format="pyarrow").materialize()
 
     # 4. near-dup among survivors: drop doc_b (the higher id) of each pair
     dropped = minhash_lsh_pairs(survivors, threshold=near_dup_threshold) \

@@ -718,3 +718,47 @@ def test_orders_rank_window_ntile_matches_duckdb():
                       ORDER BY o_totalprice DESC, o_orderkey)
         ORDER BY o_custkey, o_orderkey""").df()
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_curate_decontamination_gate():
+    """With decontam_modulus on, curate must drop the benchmark slice
+    AND every survivor sharing a 3-gram with it — verified against the
+    naive set algebra over the same survivor set."""
+    from guacray.pipelines.curate import curate
+    from guacray.stages.ngrams import ngram_explode
+
+    sf = "/root/testdata/sf0.001"
+    import pyarrow.compute as pc
+
+    from guacray.stages.dedup import exact_dedup, minhash_lsh_pairs
+    from guacray.stages.quality import lang_id, quality_scores
+
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    # naive oracle, replaying the pipeline's set algebra end to end
+    allow = pa.array(sorted(("en", "es", "de", "fr")))
+    lang_ids = set(lang_id(docs).map_batches(
+        lambda t: t.filter(pc.is_in(t["lang_pred"], value_set=allow)),
+        batch_format="pyarrow").to_pandas()["doc_id"])
+    q_ids = set(quality_scores(docs).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["quality"], pa.scalar(0.5))),
+        batch_format="pyarrow").to_pandas()["doc_id"])
+    canon_ids = set(exact_dedup(docs).to_pandas()["doc_id"])
+    grams = ngram_explode(docs, 3).to_pandas()
+    bench_grams = set(grams[grams["doc_id"] % 25 == 0]["ngram"])
+    contaminated = set(grams[grams["ngram"].isin(bench_grams)]["doc_id"])
+    surv = {d for d in lang_ids & q_ids & canon_ids
+            if d % 25 != 0 and d not in contaminated}
+    surv_ds = docs.map_batches(
+        lambda t, ids=surv: t.filter(pa.array(
+            [i in ids for i in t["doc_id"].to_pylist()])),
+        batch_format="pyarrow")
+    dropped = set(minhash_lsh_pairs(surv_ds, threshold=0.6)
+                  .to_pandas()["doc_b"])
+    expect = surv - dropped
+    got = set(curate(sf, min_quality=0.5, decontam_modulus=25)
+              .to_pandas()["doc_id"])
+    assert got == expect
+    assert contaminated - surv  # the gate actually dropped something
+    assert all(d % 25 != 0 for d in got)
