@@ -233,6 +233,12 @@ def ingest_increment(pages_path, out_dir: str, *,
     an already-applied increment (same input-file list) is a no-op.
     Returns per-phase wall times alongside the table counts (the
     metrics half of the per-partition lineage+metrics contract).
+
+    Increments are SERIAL by contract: one writer at a time per store
+    (the reference's ingest loop is equally single-writer per backend).
+    Two concurrent ingests would race the table swap and the loser's
+    merge would be silently dropped — schedule increments from one
+    driver.
     """
     import time
 

@@ -361,7 +361,9 @@ def events_type_stats(sf_dir: str):
     batch contributes (n, Σx, Σx², Σy, Σy², Σxy) partials and stddev /
     correlation finish from the merged sums — the one-pass shape for
     distributed stats (no per-group row collection, one exchange of
-    6-number partials)."""
+    6-number partials).  Degenerate groups (n == 1, or zero variance on
+    either side) yield NaN where SQL yields NULL — both denote
+    "undefined" and neither occurs in the driver tables."""
     from ..functions.rounding import np_round_half_away
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["event_type", "user_id", "value"])
