@@ -28,38 +28,44 @@ import ray
 from .agg import agg_by_name, grouped_agg
 
 
-def ngram_explode(ds, k: int = 3, *, id_col: str = "doc_id",
-                  text_col: str = "text"):
-    """DISTINCT (id, ngram) rows per document, no Python row loop.
+def ngram_explode_batch(batch: pa.Table, k: int, *,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> pa.Table:
+    """Per-batch kernel: DISTINCT (id, ngram) rows, no Python row loop.
 
     Tokenization is single-space split (== DuckDB ``string_split(text,
     ' ')``); docs with fewer than k words emit nothing (the parent-index
-    mask can never match across documents).  Distinctness is global
-    because each document lives in exactly one batch row.
-    """
-    def explode(batch: pa.Table) -> pa.Table:
-        empty = pa.table({id_col: pa.array([], batch[id_col].type),
-                          "ngram": pa.array([], pa.string())})
-        if batch.num_rows == 0:
-            return empty
-        words = pc.split_pattern(batch[text_col], " ")
-        flat = pc.list_flatten(words).combine_chunks()
-        parents = pc.list_parent_indices(words).combine_chunks()
-        m = len(flat) - k + 1
-        if m <= 0:
-            return empty
-        grams = pc.binary_join_element_wise(
-            *(flat.slice(j, m) for j in range(k)), pa.scalar(" "))
-        # a window is valid iff it stays inside one document's word list
-        valid = pc.equal(parents.slice(0, m), parents.slice(k - 1, m))
-        tbl = pa.table({
-            id_col: pc.take(batch[id_col],
-                            pc.filter(parents.slice(0, m), valid)),
-            "ngram": pc.filter(grams, valid),
-        })
-        return agg_by_name(tbl, [id_col, "ngram"], [])  # per-doc distinct
+    mask can never match across documents)."""
+    empty = pa.table({id_col: pa.array([], batch[id_col].type),
+                      "ngram": pa.array([], pa.string())})
+    if batch.num_rows == 0:
+        return empty
+    words = pc.split_pattern(batch[text_col], " ")
+    flat = pc.list_flatten(words).combine_chunks()
+    parents = pc.list_parent_indices(words).combine_chunks()
+    m = len(flat) - k + 1
+    if m <= 0:
+        return empty
+    grams = pc.binary_join_element_wise(
+        *(flat.slice(j, m) for j in range(k)), pa.scalar(" "))
+    # a window is valid iff it stays inside one document's word list
+    valid = pc.equal(parents.slice(0, m), parents.slice(k - 1, m))
+    tbl = pa.table({
+        id_col: pc.take(batch[id_col],
+                        pc.filter(parents.slice(0, m), valid)),
+        "ngram": pc.filter(grams, valid),
+    })
+    return agg_by_name(tbl, [id_col, "ngram"], [])  # per-doc distinct
 
-    return ds.map_batches(explode, batch_format="pyarrow")
+
+def ngram_explode(ds, k: int = 3, *, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Dataset wrapper over ``ngram_explode_batch``.  Distinctness is
+    global because each document lives in exactly one batch row."""
+    return ds.map_batches(
+        lambda t: ngram_explode_batch(t, k, id_col=id_col,
+                                      text_col=text_col),
+        batch_format="pyarrow")
 
 
 def repeated_ngrams(ds, k: int = 3, min_docs: int = 3, *,

@@ -81,3 +81,28 @@ def test_props_string_roundtrip(d):
     assert parse_props(s) == d
     # canonical: deterministic under key order
     assert s == props_string(dict(reversed(list(d.items()))))
+
+
+@given(st.lists(st.text(alphabet="ab xy", max_size=30), max_size=8),
+       st.integers(min_value=2, max_value=4))
+@settings(max_examples=200, deadline=None)
+def test_ngram_explode_matches_brute(texts, k):
+    """The vectorized Arrow n-gram kernel equals the per-row Python
+    definition (single-space split, k-windows within one doc, distinct
+    per doc) on arbitrary text incl. empty strings and runs of
+    spaces."""
+    import pyarrow as pa
+
+    from guacray.stages.ngrams import ngram_explode_batch
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    out = ngram_explode_batch(batch, k)
+    got = set(zip(out["doc_id"].to_pylist(), out["ngram"].to_pylist()))
+    want = set()
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        for j in range(len(w) - k + 1):
+            want.add((i, " ".join(w[j:j + k])))
+    assert got == want
