@@ -130,3 +130,46 @@ def test_graphstore_over_incremental_store(tmp_path):
     # destructive rewrites are refused on the incremental layout
     with pytest.raises(NotImplementedError):
         inc.delete_node(seed)
+
+
+def test_increment_sigkill_replay_equals_clean(tmp_path):
+    """Crash safety: SIGKILL an ingest_increment mid-run (right after
+    its delta checkpoint appears — triples written, tables unswapped,
+    ledger not yet updated), replay it, and require byte-equality with
+    a clean init+ingest.  The edges ledger is the commit marker; a
+    killed run must be invisible after replay."""
+    import glob
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    p = _split_pages(tmp_path, n=256, cut=128)
+    clean = str(tmp_path / "clean")
+    init_incremental(p["a"], clean, num_buckets=32)
+    ingest_increment(p["b"], clean)
+
+    victim = str(tmp_path / "victim")
+    init_incremental(p["a"], victim, num_buckets=32)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "guacray.cli", "--num-cpus", "4",
+         "ingest-add", p["b"], victim],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    deadline = time.time() + 120
+    marker = os.path.join(victim, "triples", "increment=inc-*")
+    while time.time() < deadline:
+        if glob.glob(marker) or proc.poll() is not None:
+            break
+        time.sleep(0.1)
+    time.sleep(0.5)  # let it get into the canonicalize/merge window
+    if proc.poll() is None:
+        proc.send_signal(signal.SIGKILL)
+    rc = proc.wait()
+    assert rc == -signal.SIGKILL, "subprocess finished before the kill"
+
+    r = ingest_increment(p["b"], victim)  # replay after the crash
+    assert r["skipped"] is False
+    for name, key in (("nodes", "node_id"), ("edges", "edge_id")):
+        got = _table_df(read_graph_table(victim, name), key)
+        want = _table_df(read_graph_table(clean, name), key)
+        pd.testing.assert_frame_equal(got, want)
