@@ -1382,9 +1382,14 @@ SQL: dict[str, str] = {
                                   x -> x IN {vocab})) AS mention
         FROM documents
     """.format(vocab="(" + ", ".join(f"'{w}'" for w in MENTION_VOCAB) + ")"),
+    # CAST to DOUBLE[]: list_cosine_similarity on the parquet FLOAT[]
+    # column computes in float32, whose error (~1e-7) can land on the
+    # other side of a 4-dp half-boundary than the engine's float64
+    # (observed once at sf0.1); both sides must do float64 arithmetic
     "ann_brute_topk": f"""
         SELECT vec_id,
-               round(list_cosine_similarity(embedding, {_query_vec_sql()}), 4)
+               round(list_cosine_similarity(
+                   CAST(embedding AS DOUBLE[]), {_query_vec_sql()}), 4)
                    AS cos_sim
         FROM embeddings
         ORDER BY cos_sim DESC, vec_id
@@ -1393,11 +1398,13 @@ SQL: dict[str, str] = {
     "ann_brute_topk_multi": f"""
         SELECT query_id, vec_id, cos_sim FROM (
             SELECT q.query_id, e.vec_id,
-                   round(list_cosine_similarity(e.embedding, q.q), 4)
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.q), 4)
                        AS cos_sim,
                    row_number() OVER (PARTITION BY q.query_id
                        ORDER BY round(list_cosine_similarity(
-                                    e.embedding, q.q), 4) DESC,
+                                    CAST(e.embedding AS DOUBLE[]),
+                                    q.q), 4) DESC,
                                 e.vec_id) AS rn
             FROM ({_query_matrix_sql()}) q CROSS JOIN embeddings e)
         WHERE rn <= 20
