@@ -66,9 +66,17 @@ def con():
        st.integers(min_value=0, max_value=6))
 @settings(max_examples=300, deadline=None)
 def test_round_matches_duckdb(x, dp):
-    """The whole SQL-oracle parity strategy rests on this equivalence."""
+    """The whole SQL-oracle parity strategy rests on this equivalence.
+
+    The value is BOUND, not embedded as a literal: DuckDB parses float
+    literals through DECIMAL and silently loses precision for
+    significands above 2^53 (found by hypothesis via
+    900719925.5889549, whose literal parse is a DIFFERENT double) —
+    the real oracles compare values read from the same parquet, which
+    binding replicates."""
     got = round_half_away(x, dp)
-    exp = duckdb.sql(f"SELECT round({x!r}::DOUBLE, {dp})").fetchone()[0]
+    con = duckdb.connect()
+    exp = con.execute(f"SELECT round(?, {dp})", [x]).fetchone()[0]
     assert got == exp or abs(got - exp) < 1e-12, (x, dp, got, exp)
 
 
