@@ -40,3 +40,45 @@ def sha256_hex(data: bytes | str) -> str:
     if isinstance(data, str):
         data = data.encode("utf-8")
     return hashlib.sha256(data).hexdigest()
+
+
+def bucket_of_hexid(ids, num_buckets: int):
+    """Vectorized ``int(h[:8], 16) % num_buckets`` over a column of
+    lowercase hex digests (content_id / md5 outputs).
+
+    Two jobs: (1) kills the per-row Python loop on combiner hot paths
+    (exact-dedup / fingerprint partials, store merges); (2) is the
+    PERSISTENT bucket function for the incremental store layout — it is
+    defined entirely by this file (first 32 bits of our own content
+    hash), so unlike ``pd.util.hash_array`` it can never drift across
+    pandas versions and silently re-route ids to different buckets.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(ids, (pa.Array, pa.ChunkedArray)):
+        ids = ids.to_numpy(zero_copy_only=False)
+    arr = np.asarray(ids, dtype="S8")  # first 8 hex chars, ascii
+    if arr.size == 0:
+        return pa.array([], type=pa.int32())
+    nib = _HEX_LUT[np.ascontiguousarray(arr).view(np.uint8)
+                   .reshape(-1, 8)].astype(np.uint32)
+    val = (nib << _HEX_SHIFTS).sum(axis=1, dtype=np.uint32)
+    return pa.array((val % np.uint32(num_buckets)).astype(np.int32),
+                    type=pa.int32())
+
+
+def _hex_tables():
+    import numpy as np
+    lut = np.zeros(256, dtype=np.uint8)
+    for i, c in enumerate("0123456789abcdef"):
+        lut[ord(c)] = i
+    shifts = (np.uint32(4) * np.arange(7, -1, -1)).astype(np.uint32)
+    return lut, shifts
+
+
+_HEX_LUT, _HEX_SHIFTS = _hex_tables()
+
+# identifier recorded in incremental-store ledgers; bump ONLY with a
+# store migration (a mismatch makes ingest refuse, never corrupt)
+BUCKET_HASH_ID = "hexid32-v1"

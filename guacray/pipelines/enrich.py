@@ -36,7 +36,7 @@ import ray
 import ray.data as rd
 
 from .. import schemas
-from ..functions.hashing import content_id
+from ..functions.hashing import bucket_of_hexid, content_id
 from ..functions.keys import entity_key, node_id
 from ..stages.canonicalize import resolve_buckets
 from .kg import _dir_num_rows, write_table
@@ -200,9 +200,7 @@ def run_enrichment(out_dir: str, *, node_type: str = "org",
         merged = existing.union(new_ds)
 
         def bucketed(t: pa.Table, key=key) -> pa.Table:
-            b = pa.array([int(h[:8], 16) % nb for h in t[key].to_pylist()],
-                         type=pa.int32())
-            return t.append_column("bucket", b)
+            return t.append_column("bucket", bucket_of_hexid(t[key], nb))
 
         def dedup(t: pa.Table, key=key) -> pa.Table:
             from ..stages.agg import agg_by_name

@@ -52,8 +52,9 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from .. import schemas
+from ..functions.hashing import BUCKET_HASH_ID, bucket_of_hexid
 from ..stages.agg import agg_by_name
-from ..stages.canonicalize import (CANON_COLS, _bucket_of, graph_tables,
+from ..stages.canonicalize import (CANON_COLS, graph_tables,
                                    resolve_buckets, with_undirected)
 from .kg import (_commit_dir, broadcast_alias_map, linked_triples,
                  read_parquet_fast, write_table)
@@ -121,8 +122,14 @@ def _touched(delta_ds) -> set[int]:
 
 
 def _with_bucket(id_col: str, nb: int):
+    """PERSISTENT bucket stamping — must be ``bucket_of_hexid``, never a
+    library hash: the store layout outlives the process, and a hash
+    whose implementation could drift across library versions would
+    silently route the same id to a different bucket than the live
+    store (duplicate rows, double-counted n_evidence, no error).  The
+    ledger pins BUCKET_HASH_ID and ingest refuses on mismatch."""
     def fn(t: pa.Table) -> pa.Table:
-        return t.append_column("bucket", _bucket_of(t[id_col], nb))
+        return t.append_column("bucket", bucket_of_hexid(t[id_col], nb))
     return fn
 
 
@@ -203,7 +210,8 @@ def init_incremental(pages_path, out_dir: str, *,
                               batch_format="pyarrow")
     edges = edges.map_batches(_with_bucket("edge_id", nb),
                               batch_format="pyarrow")
-    ledger = {"applied": [inc], "num_buckets": nb, "seed": seed}
+    ledger = {"applied": [inc], "num_buckets": nb, "seed": seed,
+              "bucket_hash": BUCKET_HASH_ID}
     node_cols = [f.name for f in schemas.NODES]
     edge_cols = [f.name for f in schemas.EDGES]
     for table, ds, cols in (("nodes", nodes, node_cols),
@@ -245,6 +253,14 @@ def ingest_increment(pages_path, out_dir: str, *,
     edges_dir = os.path.join(out_dir, "edges")
     nodes_dir = os.path.join(out_dir, "nodes")
     ledger = _read_ledger(edges_dir)  # edges ledger = commit marker
+    stamped = ledger.get("bucket_hash")
+    if stamped != BUCKET_HASH_ID:
+        raise RuntimeError(
+            f"incremental store at {out_dir} was bucket-stamped with "
+            f"{stamped!r}, this build uses {BUCKET_HASH_ID!r} — refusing "
+            "to ingest (merging with a different bucket function would "
+            "silently duplicate ids across buckets); rebuild the store "
+            "with init_incremental")
     nb, seed = ledger["num_buckets"], ledger["seed"]
     files = _input_files(pages_path)
     inc = _increment_id(files)

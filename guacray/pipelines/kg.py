@@ -123,8 +123,19 @@ def _fused_checkpoint_writer(tmp_dir: str):
         import numpy as np
         import pandas as pd
         if batch.num_rows:
-            h = pd.util.hash_array(
-                batch["edge_id"].to_numpy(zero_copy_only=False))
+            # hash EVERY identity-bearing column, not just edge_id: two
+            # blocks can share an identical edge_id sequence yet differ
+            # in evidence columns (the same statement extracted from
+            # different urls/warc_ts — routine with duplicated web
+            # pages); an edge_id-only name would silently overwrite one
+            # block's evidence rows with the other's
+            h = np.zeros(batch.num_rows, dtype=np.uint64)
+            for i, col in enumerate(("edge_id", "document_ref", "url",
+                                     "warc_ts", "props")):
+                ch = pd.util.hash_array(
+                    batch[col].to_numpy(zero_copy_only=False))
+                h ^= (ch << np.uint64(i)) | (ch >> np.uint64(64 - i)) \
+                    if i else ch
             name = (f"blk-{batch.num_rows}-"
                     f"{np.bitwise_xor.reduce(h):016x}-{h.sum():016x}")
             pq.write_table(batch, os.path.join(tmp_dir, f"{name}.parquet"))

@@ -526,7 +526,11 @@ class GraphStore:
         (/root/reference/pkg/assembler/graphql/schema/delete.graphql).
 
         One atomic rewrite per table (tmp dir + rename swap, like
-        ``delete_edges``); EVIDENCE IS RETAINED — provenance of a
+        ``delete_edges``), with an INTENT record appended to the
+        tombstone log before the first rewrite so a crash between the
+        two swaps is detectable (intent without a matching "done") and
+        replayable (the delete is idempotent); EVIDENCE IS RETAINED —
+        provenance of a
         deleted statement stays auditable, matching the tombstone-log
         philosophy (the reference's delete also leaves ingested blobs
         in the blob store).  The tombstone log records the node and
@@ -541,6 +545,24 @@ class GraphStore:
         # collect the incident edge ids first (small: one node's edges)
         incident = self.neighbors(node_id).select_columns(["edge_id"]) \
             .to_pandas()["edge_id"].tolist()
+
+        # ledger-first: each table swap below is atomic, but the
+        # OPERATION spans two swaps — a crash in between would leave the
+        # node present with its edges gone and nothing recording that a
+        # delete was in flight.  Write the intent BEFORE the first
+        # rewrite (the increment-ledger discipline); replaying
+        # delete_node(node_id) after a crash is idempotent, so an
+        # intent with no matching "done" line is detectable AND
+        # replayable.
+        log = os.path.join(os.path.dirname(self.edges_path),
+                           "_tombstones.jsonl")
+        with open(log, "a") as f:
+            f.write(json.dumps({"ts_unix": round(_t.time(), 3),
+                                "phase": "intent",
+                                "node_id": node_id,
+                                "edge_ids": sorted(incident)}) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
 
         def drop_edges(t: pa.Table) -> pa.Table:
             m = pc.or_(pc.equal(t["subj_id"], pa.scalar(node_id)),
@@ -559,10 +581,9 @@ class GraphStore:
         write_table(remaining_nodes, self.nodes_path, schemas.NODES)
         nodes_removed = nodes_before - self._read_nodes().count()
 
-        log = os.path.join(os.path.dirname(self.edges_path),
-                           "_tombstones.jsonl")
         with open(log, "a") as f:
             f.write(json.dumps({"ts_unix": round(_t.time(), 3),
+                                "phase": "done",
                                 "node_id": node_id,
                                 "edge_ids": sorted(incident),
                                 "removed_nodes": nodes_removed,

@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.hashing import bucket_of_hexid
 from .agg import agg_by_name
 from .canonicalize import resolve_buckets, resolve_buckets_pow2
 
@@ -51,10 +52,8 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         agg = agg_by_name(t, ["text_hash"],
                           [(id_col, "min", id_col),
                            ("text_hash", "count", "n_copies")])
-        bucket = pa.array(
-            [int(h[:8], 16) % num_buckets for h in agg["text_hash"].to_pylist()],
-            type=pa.int32())
-        return agg.append_column("bucket", bucket)
+        return agg.append_column(
+            "bucket", bucket_of_hexid(agg["text_hash"], num_buckets))
 
     def merge(group: pa.Table) -> pa.Table:
         agg = agg_by_name(group, ["text_hash"],
@@ -338,14 +337,60 @@ class SimHasher:
         })
 
 
+SIMHASH_ALLPAIRS_CAP = 512  # all-pairs verify below this band-group size
+
+
+def _simhash_group_pairs(ids: np.ndarray, hs: np.ndarray, max_hamming: int,
+                         cap: int = SIMHASH_ALLPAIRS_CAP):
+    """Emit qualifying pairs within ONE band_key group.
+
+    Groups ≤ cap get exact ALL-PAIRS verification (vectorized XOR +
+    popcount over the upper triangle) — this is what preserves the
+    pigeonhole recall guarantee: anchor+chain alone can miss a
+    qualifying pair (B, D) whenever an unrelated band-collision doc
+    sorts between them in EVERY shared bucket.  Groups above the cap
+    (exact-dup mega-clusters) fall back to linear anchor+chain pairing,
+    sorted by (simhash, doc_id) so identical signatures are adjacent
+    and chain at distance 0; recall there is approximate for non-equal
+    hashes and documented in simhash_pairs.  ids must be unique.
+    """
+    n = len(ids)
+    if n < 2:
+        return [], [], []
+    if n <= cap:
+        ii, jj = np.triu_indices(n, k=1)
+        d = _popcount64(hs[ii] ^ hs[jj])
+        keep = d <= max_hamming
+        a, b = ids[ii[keep]], ids[jj[keep]]
+        # ids arrive doc_id-sorted, so a < b already holds pairwise
+        return a.tolist(), b.tolist(), d[keep].tolist()
+    order = np.lexsort((ids, hs))
+    ids, hs = ids[order], hs[order]
+    a_out, b_out, d_out = [], [], []
+    for lo, hi, d in ((0, 1, _popcount64(hs[0] ^ hs[1:])),        # anchor
+                      (1, 2, _popcount64(hs[1:-1] ^ hs[2:]))):    # chain
+        for j in np.nonzero(d <= max_hamming)[0]:
+            x, y = int(ids[lo + j]), int(ids[hi + j])
+            a_out.append(min(x, y))
+            b_out.append(max(x, y))
+            d_out.append(int(d[j]))
+    return a_out, b_out, d_out
+
+
 def simhash_pairs(ds, max_hamming: int = 3):
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
     Bucket by B = max_hamming+1 bands of ~64/B bits (pigeonhole: a pair
     within the threshold is IDENTICAL in at least one band), then verify
-    true Hamming distance within buckets — guaranteed full recall at ANY
-    threshold, not just the default.  Candidate volume grows with B
-    (narrower bands collide more), the usual LSH recall/scan trade.
+    true Hamming distance within buckets.  Recall is EXACT for every
+    band group up to SIMHASH_ALLPAIRS_CAP docs (all-pairs verify);
+    above the cap — in practice exact-dup mega-clusters — pairing falls
+    back to linear anchor+chain over hash-sorted rows, which still
+    emits every identical-hash pair (distance 0 chains) but may miss
+    non-equal near-pairs inside such a group; connected components over
+    the emitted pairs reconstruct clusters.  Candidate volume grows
+    with B (narrower bands collide more), the usual LSH recall/scan
+    trade.
     """
     _sh = SimHasher()
     signed = ds.map_batches(_sh, batch_format="pyarrow")
@@ -392,22 +437,10 @@ def simhash_pairs(ds, max_hamming: int = 3):
             ids = g["doc_id"].to_numpy()
             hs = np.ascontiguousarray(
                 g["simhash"].to_numpy().astype(np.uint64))
-            # anchor + adjacent-chain pairing — the MinHash pattern
-            # (minhash_lsh_pairs above): LINEAR in group size, so an
-            # exact-dup mega-cluster sharing all four bands emits O(n)
-            # pairs, never O(n²); connected components over the emitted
-            # pairs reconstruct full clusters.  Popcount vectorized via
-            # unpackbits (no Python per-pair bin().count()).
-            anchor = _popcount64(hs[0] ^ hs[1:])
-            for j in np.nonzero(anchor <= max_hamming)[0]:
-                out_a.append(int(ids[0]))
-                out_b.append(int(ids[1 + j]))
-                out_d.append(int(anchor[j]))
-            chain = _popcount64(hs[1:-1] ^ hs[2:])
-            for j in np.nonzero(chain <= max_hamming)[0]:
-                out_a.append(int(ids[1 + j]))
-                out_b.append(int(ids[2 + j]))
-                out_d.append(int(chain[j]))
+            a, b, d = _simhash_group_pairs(ids, hs, max_hamming)
+            out_a.extend(a)
+            out_b.extend(b)
+            out_d.extend(d)
         return pa.table({
             "doc_a": pa.array(out_a, type=pa.int64()),
             "doc_b": pa.array(out_b, type=pa.int64()),

@@ -504,41 +504,50 @@ class MediaResizer:
         rng = np.random.RandomState(int.from_bytes(h[4:], "big"))
         return rng.bytes(self.w * self.h * 3)  # fake RGB raster
 
-    def _resize(self, payload: bytes) -> bytes:
+    def _resize(self, payload: bytes) -> tuple[bytes, str]:
+        """Returns (payload, error).  error == "" means the payload WAS
+        resized; a non-empty error means pass-through — the caller must
+        keep the original metadata (reporting target dims on an
+        untouched payload would lie to downstream consumers)."""
         if self.decoder == "fake":
-            return self._fake_resize(payload)
+            return self._fake_resize(payload), ""
         # real kernel: decode (PPM/PGM/BMP) → box filter → P6 encode;
-        # undecodable payloads pass through unchanged (resize is a
-        # best-effort preprocessing stage, the decoder stage owns
-        # dead-lettering)
+        # undecodable payloads pass through unchanged WITH an error mark
+        # (resize is best-effort; the decoder stage owns dead-lettering)
         try:
             return encode_ppm(box_resize(decode_raster(payload),
-                                         self.w, self.h))
-        except Exception:
-            return payload
+                                         self.w, self.h)), ""
+        except Exception as e:
+            return payload, f"resize pass-through: {e}"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         is_img = [k == "image" for k in batch["kind"].to_pylist()]
         payloads = batch["payload"].to_pylist()
-        out = [self._resize(p) if img else p
-               for p, img in zip(payloads, is_img)]
+        out, errors = [], []
+        for p, img in zip(payloads, is_img):
+            o, err = self._resize(p) if img else (p, "")
+            out.append(o)
+            errors.append(err)
+        resized = [img and not err for img, err in zip(is_img, errors)]
         mimes = batch["mime"].to_pylist()
         if self.decoder == "real":
-            mimes = ["image/x-portable-pixmap"
-                     if img and o[:2] == b"P6" else m
-                     for img, o, m in zip(is_img, out, mimes)]
+            mimes = ["image/x-portable-pixmap" if ok and o[:2] == b"P6"
+                     else m for ok, o, m in zip(resized, out, mimes)]
         t = pa.table({
             "media_id": batch["media_id"],
             "kind": batch["kind"],
             "payload": pa.array(out, type=pa.binary()),
             "mime": pa.array(mimes, type=pa.string()),
-            "width": pa.array([self.w if img else w for img, w in
-                               zip(is_img, batch["width"].to_pylist())],
+            # pass-through rows KEEP their original dims — metadata must
+            # describe the payload actually emitted
+            "width": pa.array([self.w if ok else w for ok, w in
+                               zip(resized, batch["width"].to_pylist())],
                               type=pa.int32()),
-            "height": pa.array([self.h if img else h for img, h in
-                                zip(is_img, batch["height"].to_pylist())],
+            "height": pa.array([self.h if ok else h for ok, h in
+                                zip(resized, batch["height"].to_pylist())],
                                type=pa.int32()),
             "duration_ms": batch["duration_ms"],
+            "error": pa.array(errors, type=pa.string()),
         })
         return t
 

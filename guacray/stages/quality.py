@@ -20,6 +20,7 @@ import re
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.hashing import bucket_of_hexid
 from ..functions.rounding import round_half_away
 
 # ------------------------------------------------------------ tokens
@@ -104,9 +105,7 @@ def norm_fingerprint(ds):
                       "doc_id": batch["doc_id"]})
         agg = agg_by_name(t, ["fp"], [("doc_id", "min", "doc_id"),
                                       ("fp", "count", "n_docs")])
-        bucket = pa.array([int(h[:8], 16) % nb for h in agg["fp"].to_pylist()],
-                          type=pa.int32())
-        return agg.append_column("bucket", bucket)
+        return agg.append_column("bucket", bucket_of_hexid(agg["fp"], nb))
 
     def merge(group: pa.Table) -> pa.Table:
         agg = agg_by_name(group, ["fp"], [("doc_id", "min", "doc_id"),

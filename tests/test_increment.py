@@ -173,3 +173,32 @@ def test_increment_sigkill_replay_equals_clean(tmp_path):
         got = _table_df(read_graph_table(victim, name), key)
         want = _table_df(read_graph_table(clean, name), key)
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_bucket_hash_pinned_and_mismatch_refused(tmp_path):
+    """The ledger pins the persistent bucket function; an ingest against
+    a store stamped with a different one must refuse, not corrupt."""
+    import json
+
+    import pytest
+
+    from guacray.functions.hashing import BUCKET_HASH_ID, bucket_of_hexid
+    from guacray.functions.hashing import content_id
+
+    # the stamp is our own content hash's first 32 bits — library-free
+    ids = [content_id(str(i)) for i in range(64)]
+    assert bucket_of_hexid(ids, 32).to_pylist() == \
+        [int(h[:8], 16) % 32 for h in ids]
+
+    p = _split_pages(tmp_path, n=96, cut=64)
+    store = str(tmp_path / "store")
+    init_incremental(p["a"], store, num_buckets=8)
+    ledger_path = os.path.join(store, "edges", "_applied.json")
+    with open(ledger_path) as f:
+        ledger = json.load(f)
+    assert ledger["bucket_hash"] == BUCKET_HASH_ID
+    ledger["bucket_hash"] = "someother-v0"
+    with open(ledger_path, "w") as f:
+        json.dump(ledger, f)
+    with pytest.raises(RuntimeError, match="bucket-stamped"):
+        ingest_increment(p["b"], store)

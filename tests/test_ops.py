@@ -762,3 +762,89 @@ def test_curate_decontamination_gate():
     assert got == expect
     assert contaminated - surv  # the gate actually dropped something
     assert all(d % 25 != 0 for d in got)
+
+
+def test_simhash_group_pairs_allpairs_recall():
+    """ADVICE r3 counterexample: group [X1, B, X2, D] where every
+    anchor/chain pair fails the Hamming verify but (B, D) qualifies —
+    anchor+chain alone misses it; all-pairs under the cap must not."""
+    from guacray.stages.dedup import _simhash_group_pairs
+    ids = np.array([10, 11, 12, 13], dtype=np.int64)   # X1, B, X2, D
+    hs = np.array([0xFFFF000000000000,                 # X1: far from all
+                   0x0000000000000000,                 # B
+                   0x0000FFFF00000000,                 # X2: far from all
+                   0x0000000000000001],                # D: hamming(B,D)=1
+                  dtype=np.uint64)
+    a, b, d = _simhash_group_pairs(ids, hs, max_hamming=3)
+    assert set(zip(a, b)) == {(11, 13)} and d == [1]
+
+
+def test_simhash_group_pairs_matches_brute_force():
+    from guacray.stages.dedup import _popcount64, _simhash_group_pairs
+    rng = np.random.default_rng(7)
+    n, thr = 60, 6
+    ids = np.arange(n, dtype=np.int64)
+    base = rng.integers(0, 2**63, size=n, dtype=np.int64).astype(np.uint64)
+    # plant clusters of small perturbations of one hash
+    base[20:40] = base[20] ^ rng.integers(0, 16, 20).astype(np.uint64)
+    want = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if int(_popcount64(np.array([base[i] ^ base[j]]))[0]) <= thr:
+                want.add((i, j))
+    a, b, _ = _simhash_group_pairs(ids, base, max_hamming=thr)
+    assert set(zip(a, b)) == want
+
+
+def test_simhash_group_pairs_fallback_keeps_equal_hashes():
+    """Above the cap the fallback sorts by hash, so identical signatures
+    chain at distance 0 even when unrelated docs interleave by doc_id."""
+    from guacray.stages.dedup import _simhash_group_pairs
+    rng = np.random.default_rng(3)
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    hs = rng.integers(0, 2**63, size=n, dtype=np.int64).astype(np.uint64)
+    hs[::4] = np.uint64(0xDEADBEEF)                     # every 4th equal
+    a, b, d = _simhash_group_pairs(ids, hs, max_hamming=3, cap=256)
+    # union-find over emitted pairs: the equal-hash docs must land in
+    # one connected component
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        parent[find(x)] = find(y)
+    roots = {find(i) for i in range(0, n, 4)}
+    assert len(roots) == 1
+    assert all(h == 0 for x, y, h in zip(a, b, d) if x % 4 == 0 and y % 4 == 0)
+
+
+def test_resize_passthrough_keeps_original_metadata():
+    """ADVICE r3: an undecodable image payload passes through unchanged
+    — its row must keep the ORIGINAL width/height/mime and carry an
+    error mark, not claim target dims it doesn't have."""
+    from guacray.stages.multimodal import resize_images
+    media = pa.table({
+        "media_id": pa.array([1, 2], type=pa.int64()),
+        "kind": pa.array(["image", "image"], type=pa.string()),
+        "payload": pa.array([b"\xff\xd8\xff\xe0 not a raster",
+                             b"P6\n2 2\n255\n" + bytes(12)],
+                            type=pa.binary()),
+        "mime": pa.array(["image/jpeg", "image/x-portable-pixmap"]),
+        "width": pa.array([640, 2], type=pa.int32()),
+        "height": pa.array([480, 2], type=pa.int32()),
+        "duration_ms": pa.array([0, 0], type=pa.int32()),
+    })
+    out = resize_images(rd.from_arrow(media), target=(8, 8),
+                        decoder="real").to_pandas().set_index("media_id")
+    bad, good = out.loc[1], out.loc[2]
+    assert bad["error"].startswith("resize pass-through")
+    assert (bad["width"], bad["height"]) == (640, 480)
+    assert bad["mime"] == "image/jpeg"
+    assert bad["payload"] == b"\xff\xd8\xff\xe0 not a raster"
+    assert good["error"] == ""
+    assert (good["width"], good["height"]) == (8, 8)
