@@ -115,22 +115,13 @@ def _kg_partner_components(sf_dir: str):
                        [("node_id", "count", "n_members")])
 
 
-def _depth_table(depth: dict):
-    import pyarrow as pa
-    ids = sorted(depth)
-    return pa.table({"node_id": pa.array(ids, type=pa.string()),
-                     "depth": pa.array([depth[i] for i in ids],
-                                       type=pa.int64())})
-
-
 def _kg_reachable(sf_dir: str):
     """Forward BFS closure (node_id -> min depth) from a deterministic
     seed (lexicographically first org node) — SQL-checked against a
     recursive-CTE shortest-path derivation over the same edges."""
     store = _kg_store(sf_dir)
     seed = store.nodes(node_type="org").to_pandas()["node_id"].min()
-    return _depth_table(store.reachable(seed, direction="out",
-                                        max_depth=10))
+    return store.reachable_dataset(seed, direction="out", max_depth=10)
 
 
 def _kg_blast_radius(sf_dir: str):
@@ -138,8 +129,7 @@ def _kg_blast_radius(sf_dir: str):
     the SearchDependentsFromStartPackage patch-planning shape."""
     store = _kg_store(sf_dir)
     seed = store.nodes(node_type="product").to_pandas()["node_id"].min()
-    return _depth_table(store.reachable(seed, direction="in",
-                                        max_depth=10))
+    return store.reachable_dataset(seed, direction="in", max_depth=10)
 
 
 def _kg_class_reachable(sf_dir: str):
@@ -149,8 +139,8 @@ def _kg_class_reachable(sf_dir: str):
     directed edges cost 1), expressible as a recursive CTE."""
     store = _kg_store(sf_dir)
     seed = store.nodes(node_type="org").to_pandas()["node_id"].min()
-    return _depth_table(store.reachable_with_classes(
-        seed, direction="out", max_depth=10))
+    return store.reachable_dataset(seed, direction="out", max_depth=10,
+                                   class_predicate="partnered_with")
 
 
 def _kg_toposort(sf_dir: str):

@@ -169,9 +169,15 @@ class GraphStore:
 
     def _frontier_expand(self, frontier: set[str],
                          predicates: list[str] | None,
-                         direction: str) -> pa.Table:
+                         direction: str,
+                         cap: int | None = None) -> pa.Table | None:
         """Distributed semi-join: edges whose subject (resp. object) is
-        in the frontier.  The frontier is broadcast once per hop."""
+        in the frontier.  The frontier is broadcast once per hop.
+
+        ``cap``: collection is STREAMED (iter_batches) and aborted the
+        moment the expansion exceeds ``cap`` rows, returning None — the
+        escalation signal for the hybrid BFS.  The driver never holds
+        more than cap+one batch of an oversized expansion."""
         ref = ray.put(pa.array(sorted(frontier)))
 
         def fn(t: pa.Table) -> pa.Table:
@@ -187,14 +193,25 @@ class GraphStore:
         # BFS consumers need only the id pair: project BEFORE collecting
         # so a hub node's expansion ships 2 narrow columns, not whole
         # edge rows
+        empty = pa.table({"subj_id": pa.array([], type=pa.string()),
+                          "obj_id": pa.array([], type=pa.string())})
         ds = self._read_edges(predicates=predicates).map_batches(
             fn, batch_format="pyarrow").select_columns(
             ["subj_id", "obj_id"])
-        df = ds.to_pandas()
-        if "subj_id" not in df.columns:  # empty expansion drops schema
-            return pa.table({"subj_id": pa.array([], type=pa.string()),
-                             "obj_id": pa.array([], type=pa.string())})
-        return pa.Table.from_pandas(df, preserve_index=False)
+        if cap is None:
+            df = ds.to_pandas()
+            if "subj_id" not in df.columns:  # empty expansion drops schema
+                return empty
+            return pa.Table.from_pandas(df, preserve_index=False)
+        chunks, total = [], 0
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+            total += b.num_rows
+            if total > cap:
+                return None
+            chunks.append(b)
+        if not chunks:
+            return empty
+        return pa.concat_tables(chunks)
 
     # ------------------------------------------------------------- BFS
 
@@ -226,21 +243,133 @@ class GraphStore:
             frontier = nxt
         return None
 
+    # Escalation threshold for the hybrid BFS: while the visited set AND
+    # every hop expansion stay below this many rows, the frontier walks
+    # driver-side (one distributed edge filter per hop — the cheap path
+    # at fixture scale); past it, frontier/visited move into Datasets
+    # and the driver holds only counts.  Overridable per call and via
+    # env for tests (GUACRAY_BFS_DRIVER_LIMIT=0 forces the distributed
+    # path everywhere).
+    DRIVER_BFS_LIMIT = 1_000_000
+
+    def _bfs_driver_limit(self, driver_limit: int | None) -> int:
+        if driver_limit is not None:
+            return driver_limit
+        env = os.environ.get("GUACRAY_BFS_DRIVER_LIMIT")
+        return int(env) if env else self.DRIVER_BFS_LIMIT
+
     def reachable(self, start_id: str, *, direction: str = "out",
                   predicates: list[str] | None = None,
-                  max_depth: int = 10) -> dict[str, int]:
+                  max_depth: int = 10,
+                  driver_limit: int | None = None) -> dict[str, int]:
         """Blast-radius / patch-planning frontier BFS: node_id → depth
-        (the SearchDependentsFromStartPackage shape)."""
+        (the SearchDependentsFromStartPackage shape).
+
+        The dict RESULT is driver-sized by contract — callers that need
+        the closure of a huge graph should consume
+        ``reachable_dataset`` instead; the walk itself is hybrid either
+        way (escalates to dataset-resident state past driver_limit), so
+        an unexpectedly large closure degrades to a slow collect, never
+        a mid-walk driver OOM."""
+        kind, v = self._bfs(start_id, direction=direction,
+                            predicates=predicates, max_depth=max_depth,
+                            driver_limit=self._bfs_driver_limit(driver_limit))
+        if kind == "dict":
+            return v
+        df = v.to_pandas()
+        return dict(zip(df["node_id"], (int(x) for x in df["depth"])))
+
+    def reachable_dataset(self, start_id: str, *, direction: str = "out",
+                          predicates: list[str] | None = None,
+                          max_depth: int = 10,
+                          class_predicate: str | None = None,
+                          driver_limit: int | None = None):
+        """BFS closure as a Dataset(node_id, depth) — the scale form of
+        ``reachable``/``reachable_with_classes``.
+
+        Hybrid execution: hops run driver-side (one distributed edge
+        filter each) while the visited set and every expansion fit under
+        ``driver_limit``; the moment either would exceed it, state
+        SPILLS into Datasets and each further hop is a pair of
+        size-aware semi/anti joins (stages/agg.semi_join: broadcast
+        small frontiers, Bloom + hash join past 2M keys).  From that
+        point the driver sees only per-hop counts — a 10-hop closure
+        that reaches half the graph streams through the object store
+        instead of a Python dict.  Reference shape:
+        /root/reference/pkg/guacanalytics/patchPlanning.go:54-151."""
+        kind, v = self._bfs(start_id, direction=direction,
+                            predicates=predicates, max_depth=max_depth,
+                            class_predicate=class_predicate,
+                            driver_limit=self._bfs_driver_limit(driver_limit))
+        if kind == "ds":
+            return v
+        ids = sorted(v)
+        return rd.from_arrow(pa.table({
+            "node_id": pa.array(ids, type=pa.string()),
+            "depth": pa.array([v[i] for i in ids], type=pa.int64())}))
+
+    def _bfs(self, start_id: str, *, direction: str,
+             predicates: list[str] | None, max_depth: int,
+             class_predicate: str | None = None, driver_limit: int = 0):
+        """Shared hybrid BFS engine.  Returns ("dict", {id: depth}) if
+        the walk completed driver-side, else ("ds", Dataset(node_id,
+        depth)).  ``class_predicate`` closes every layer over an
+        undirected equivalence predicate at the SAME depth before the
+        next directed hop (retrieveDependencies semantics)."""
         depth = {start_id: 0}
         frontier = {start_id}
+        cap = driver_limit
+
+        def class_close(nodes: set[str], d: int) -> set[str] | None:
+            # expand to class fixpoint at depth d; returns new members,
+            # or None if an expansion overflowed the driver cap
+            added_all: set[str] = set()
+            fr = set(nodes)
+            while fr:
+                edges = self._frontier_expand(fr, [class_predicate],
+                                              "both", cap=cap)
+                if edges is None:
+                    return None
+                new: set[str] = set()
+                for s, o in zip(edges["subj_id"].to_pylist(),
+                                edges["obj_id"].to_pylist()):
+                    for a, b in ((s, o), (o, s)):
+                        if a in fr and b not in depth:
+                            depth[b] = d
+                            new.add(b)
+                added_all |= new
+                fr = new
+            return added_all
+
+        if class_predicate:
+            closed = class_close({start_id}, 0)
+            if closed is None:
+                # partially-closed members already carry depth 0 — the
+                # distributed re-closure must start from ALL of them
+                return self._bfs_distributed(
+                    depth, {k for k, dd in depth.items() if dd == 0}, 1,
+                    direction=direction,
+                    predicates=predicates, max_depth=max_depth,
+                    class_predicate=class_predicate, reclose_frontier=True)
+            frontier = {start_id} | closed
         for d in range(1, max_depth + 1):
             if not frontier:
                 break
-            edges = self._frontier_expand(frontier, predicates, direction)
+            if len(depth) > cap:
+                return self._bfs_distributed(
+                    depth, frontier, d, direction=direction,
+                    predicates=predicates, max_depth=max_depth,
+                    class_predicate=class_predicate)
+            edges = self._frontier_expand(frontier, predicates, direction,
+                                          cap=cap)
+            if edges is None:
+                return self._bfs_distributed(
+                    depth, frontier, d, direction=direction,
+                    predicates=predicates, max_depth=max_depth,
+                    class_predicate=class_predicate)
             nxt: set[str] = set()
-            pairs = zip(edges["subj_id"].to_pylist(),
-                        edges["obj_id"].to_pylist())
-            for s, o in pairs:
+            for s, o in zip(edges["subj_id"].to_pylist(),
+                            edges["obj_id"].to_pylist()):
                 if direction == "out":
                     cand = [(s, o)]
                 elif direction == "in":
@@ -251,8 +380,112 @@ class GraphStore:
                     if a in frontier and b not in depth:
                         depth[b] = d
                         nxt.add(b)
+            if class_predicate and nxt:
+                closed = class_close(nxt, d)
+                if closed is None:
+                    return self._bfs_distributed(
+                        depth, {k for k, dd in depth.items() if dd == d},
+                        d + 1, direction=direction,
+                        predicates=predicates, max_depth=max_depth,
+                        class_predicate=class_predicate,
+                        reclose_frontier=True)
+                nxt |= closed
             frontier = nxt
-        return depth
+        return "dict", depth
+
+    def _bfs_distributed(self, depth: dict[str, int], frontier: set[str],
+                         next_d: int, *, direction: str,
+                         predicates: list[str] | None, max_depth: int,
+                         class_predicate: str | None,
+                         reclose_frontier: bool = False):
+        """Dataset-resident continuation of ``_bfs`` from hop next_d.
+
+        State: ``layers`` — one materialized Dataset(node_id, depth) per
+        completed layer (their lazy union is the visited set); the
+        frontier is always the newest layer(s).  Per hop: size-aware
+        semi-join of the (materialized, 2-column) edge projection
+        against the frontier, distributed distinct, anti-join against
+        visited, depth stamp.  Driver state: counts only."""
+        from ..stages.agg import grouped_agg, semi_join
+
+        def proj(preds):
+            return self._read_edges(predicates=preds).select_columns(
+                ["subj_id", "obj_id"]).materialize()
+
+        edges_ds = proj(predicates)
+        cls_ds = proj([class_predicate]) if class_predicate else None
+
+        def stamp(d):
+            def fn(t: pa.Table) -> pa.Table:
+                return pa.table({
+                    "node_id": t["node_id"],
+                    "depth": pa.array([d] * t.num_rows, type=pa.int64())})
+            return fn
+
+        def expand(frontier_ds, over, dirn):
+            outs = []
+            if dirn in ("out", "both"):
+                c = semi_join(over, frontier_ds, on="subj_id",
+                              right_on="node_id")
+                outs.append(c.map_batches(
+                    lambda t: pa.table({"node_id": t["obj_id"]}),
+                    batch_format="pyarrow"))
+            if dirn in ("in", "both"):
+                c = semi_join(over, frontier_ds, on="obj_id",
+                              right_on="node_id")
+                outs.append(c.map_batches(
+                    lambda t: pa.table({"node_id": t["subj_id"]}),
+                    batch_format="pyarrow"))
+            ds = outs[0] if len(outs) == 1 else outs[0].union(outs[1])
+            return grouped_agg(ds, ["node_id"], [])  # distributed distinct
+
+        ids = sorted(depth)
+        layers = [rd.from_arrow(pa.table({
+            "node_id": pa.array(ids, type=pa.string()),
+            "depth": pa.array([depth[i] for i in ids], type=pa.int64()),
+        })).materialize()]
+
+        def visited():
+            v = layers[0]
+            for l in layers[1:]:
+                v = v.union(l)
+            return v
+
+        def fresh(cand_ds, d):
+            new = semi_join(cand_ds, visited(), on="node_id", anti=True)
+            new = new.map_batches(stamp(d), batch_format="pyarrow") \
+                     .materialize()
+            return new, new.count()
+
+        def close_classes(frontier_ds, d):
+            # class fixpoint at depth d, dataset-resident; frontier
+            # datasets are always node_id-only (union-compatible)
+            total = frontier_ds
+            cur = frontier_ds
+            while True:
+                add, n = fresh(expand(cur, cls_ds, "both"), d)
+                if n == 0:
+                    return total
+                layers.append(add)
+                cur = add.select_columns(["node_id"])
+                total = total.union(cur)
+
+        frontier_ds = rd.from_arrow(pa.table({
+            "node_id": pa.array(sorted(frontier), type=pa.string())}))
+        if reclose_frontier and class_predicate:
+            # escalation happened mid class-closure: redo the fixpoint
+            # for the whole frontier distributed (idempotent — members
+            # already in `depth` are anti-joined away)
+            frontier_ds = close_classes(frontier_ds, next_d - 1)
+        for d in range(next_d, max_depth + 1):
+            new, n = fresh(expand(frontier_ds, edges_ds, direction), d)
+            if n == 0:
+                break
+            layers.append(new)
+            frontier_ds = new.select_columns(["node_id"])
+            if class_predicate:
+                frontier_ds = close_classes(frontier_ds, d)
+        return "ds", visited()
 
     def toposort(self, start_id: str, *, direction: str = "out",
                  max_depth: int = 10) -> list[str]:
@@ -626,48 +859,21 @@ class GraphStore:
         (undirected, SAME depth) before the next directed hop, so a
         path that only exists through an equal member is found.  Class
         members enter the depth map at the depth of the node that
-        pulled them in."""
-        def class_close(nodes: set[str], depth_map: dict[str, int],
-                        d: int) -> set[str]:
-            # expand to class fixpoint at depth d; returns the new members
-            added_all: set[str] = set()
-            frontier = set(nodes)
-            while frontier:
-                edges = self._frontier_expand(frontier,
-                                              [class_predicate], "both")
-                new: set[str] = set()
-                for s, o in zip(edges["subj_id"].to_pylist(),
-                                edges["obj_id"].to_pylist()):
-                    for a, b in ((s, o), (o, s)):
-                        if a in frontier and b not in depth_map:
-                            depth_map[b] = d
-                            new.add(b)
-                added_all |= new
-                frontier = new
-            return added_all
+        pulled them in.
 
-        depth = {start_id: 0}
-        frontier = {start_id} | class_close({start_id}, depth, 0)
-        for d in range(1, max_depth + 1):
-            if not frontier:
-                break
-            edges = self._frontier_expand(frontier, predicates, direction)
-            nxt: set[str] = set()
-            for s, o in zip(edges["subj_id"].to_pylist(),
-                            edges["obj_id"].to_pylist()):
-                if direction == "out":
-                    cand = [(s, o)]
-                elif direction == "in":
-                    cand = [(o, s)]
-                else:
-                    cand = [(s, o), (o, s)]
-                for a, b in cand:
-                    if a in frontier and b not in depth:
-                        depth[b] = d
-                        nxt.add(b)
-            nxt |= class_close(nxt, depth, d)
-            frontier = nxt
-        return depth
+        Dict result = driver-sized contract; the walk is the same
+        hybrid engine as ``reachable`` (escalates to dataset-resident
+        state past the driver limit) — use ``reachable_dataset(...,
+        class_predicate=...)`` to consume a huge closure as a
+        Dataset."""
+        kind, v = self._bfs(start_id, direction=direction,
+                            predicates=predicates, max_depth=max_depth,
+                            class_predicate=class_predicate,
+                            driver_limit=self._bfs_driver_limit(None))
+        if kind == "dict":
+            return v
+        df = v.to_pandas()
+        return dict(zip(df["node_id"], (int(x) for x in df["depth"])))
 
     def chain_with_classes(self, predicates: list[str], *,
                            class_predicate: str = "partnered_with",

@@ -196,3 +196,80 @@ def test_source_registry(tmp_path):
     t = tmp_path / "rows.txt"
     t.write_text("hello\nworld\n")
     assert READERS["text"](str(t)).count() == 2
+
+
+def test_reachable_hybrid_parity(store):
+    """The dataset-resident BFS (forced via driver_limit=0) must equal
+    the driver-side walk for every direction, and the class-aware walk
+    must match under the env-var escape hatch."""
+    seed = store.nodes(node_type="org").to_pandas()["node_id"].min()
+    for direction in ("out", "in", "both"):
+        a = store.reachable(seed, direction=direction, max_depth=6)
+        b = store.reachable(seed, direction=direction, max_depth=6,
+                            driver_limit=0)
+        assert a == b and a[seed] == 0
+    a = store.reachable_with_classes(seed, direction="out", max_depth=6)
+    os.environ["GUACRAY_BFS_DRIVER_LIMIT"] = "0"
+    try:
+        b = store.reachable_with_classes(seed, direction="out", max_depth=6)
+        ds = store.reachable_dataset(seed, direction="out", max_depth=6,
+                                     class_predicate="partnered_with")
+        df = ds.to_pandas()
+        c = dict(zip(df["node_id"], (int(x) for x in df["depth"])))
+    finally:
+        del os.environ["GUACRAY_BFS_DRIVER_LIMIT"]
+    assert a == b == c
+
+
+def test_reachable_mid_walk_escalation(store):
+    """A small nonzero driver_limit escalates MID-walk (after some
+    driver-side hops); the continuation must pick up exactly where the
+    driver phase stopped."""
+    seed = store.nodes(node_type="org").to_pandas()["node_id"].min()
+    want = store.reachable(seed, direction="out", max_depth=8)
+    for lim in (1, 5, 50):
+        got = store.reachable(seed, direction="out", max_depth=8,
+                              driver_limit=lim)
+        assert got == want
+
+
+def test_reachable_hub_graph_distributed(tmp_path):
+    """Synthetic hub: one center fanning out to n leaves (the expansion
+    that would flood the driver), plus a chain behind the hub.  The
+    distributed path must return all depths without the driver ever
+    collecting the expansion (cap << n)."""
+    import pyarrow as pa
+
+    n = 3000
+    center, leaves = "hub", [f"leaf{i:05d}" for i in range(n)]
+    edges = {
+        "edge_id": [f"e{i}" for i in range(n + 2)],
+        "subj_id": ["a", center] + [center] * n,
+        "predicate": ["linked_to"] * (n + 2),
+        "obj_id": [center, "b"] + leaves,
+        "props": [""] * (n + 2),
+        "first_seen": pa.nulls(n + 2, type=schemas.TS),
+        "n_evidence": [1] * (n + 2),
+        "undirected": [False] * (n + 2),
+    }
+    nodes_ids = ["a", "b", center] + leaves
+    nodes = {
+        "node_id": nodes_ids,
+        "node_key": nodes_ids,
+        "node_type": ["org"] * len(nodes_ids),
+        "name": nodes_ids,
+        "qualifiers": [""] * len(nodes_ids),
+    }
+    d = str(tmp_path / "hub")
+    write_table(rd.from_arrow(pa.table(edges).cast(schemas.EDGES)),
+                os.path.join(d, "edges"), schemas.EDGES)
+    write_table(rd.from_arrow(pa.table(nodes).cast(schemas.NODES)),
+                os.path.join(d, "nodes"), schemas.NODES)
+    s = GraphStore(d)
+    got = s.reachable("a", direction="out", max_depth=4, driver_limit=100)
+    assert got["a"] == 0 and got[center] == 1 and got["b"] == 2
+    assert len(got) == n + 3 and got["leaf00000"] == 2
+    # dataset form agrees
+    df = s.reachable_dataset("a", direction="out", max_depth=4,
+                             driver_limit=100).to_pandas()
+    assert dict(zip(df["node_id"], (int(x) for x in df["depth"]))) == got
