@@ -886,28 +886,23 @@ class GraphStore:
         Plan: label every boundary id with its class component
         (``components`` — distributed min-label CC), then join on the
         component label; ids outside any class keep their own id as the
-        label.  Partitioning assumption: the class-membership table
-        (nodes incident to ``class_predicate`` edges) is dimension-
-        sized and broadcasts; at larger class cardinality swap the
-        broadcast for an auto_join on the boundary column.
+        label.  Labeling is a size-aware LEFT lookup join against the
+        components Dataset (``left_lookup_join``: broadcast merge for a
+        dimension-sized membership table, hash-partitioned left_outer
+        join past 2M classes) — the membership table never reaches the
+        driver and there is no per-row Python ``.get`` loop.
         Output columns: n0..nK (original node ids, not labels)."""
-        from ..stages.agg import auto_join
+        from ..stages.agg import auto_join, left_lookup_join
         assert predicates, "need at least one hop"
         if props_filters is None:
             props_filters = [None] * len(predicates)
 
-        comp = self.components(class_predicate).to_pandas()
-        comp_map = dict(zip(comp["node_id"], comp["component"]))
-        ref = ray.put(comp_map)
+        comp = self.components(class_predicate).materialize()
 
-        def with_label(col: str, out: str):
-            def fn(t: pa.Table) -> pa.Table:
-                m = ray.get(ref)
-                vals = t[col].to_pylist()
-                lab = pa.array([m.get(v, v) for v in vals],
-                               type=pa.string())
-                return t.append_column(out, lab)
-            return fn
+        def with_label(ds, col: str, out: str):
+            return left_lookup_join(ds, comp, on=col, right_on="node_id",
+                                    value_col="component", out=out,
+                                    default_from=col)
 
         def hop_edges(i: int):
             pf = props_filters[i]
@@ -920,13 +915,12 @@ class GraphStore:
             lambda t: pa.table({"n0": t["subj_id"], "n1": t["obj_id"]}),
             batch_format="pyarrow")
         for i in range(1, len(predicates)):
-            out = out.map_batches(with_label(f"n{i}", f"__l{i}"),
-                                  batch_format="pyarrow")
+            out = with_label(out, f"n{i}", f"__l{i}")
             nxt = hop_edges(i).map_batches(
                 lambda t, i=i: pa.table({f"__k{i}": t["subj_id"],
                                          f"n{i + 1}": t["obj_id"]}),
-                batch_format="pyarrow").map_batches(
-                with_label(f"__k{i}", f"__r{i}"), batch_format="pyarrow")
+                batch_format="pyarrow")
+            nxt = with_label(nxt, f"__k{i}", f"__r{i}")
             out = auto_join(out, nxt, on=f"__l{i}", right_on=f"__r{i}")
             out = out.map_batches(
                 lambda t, i=i: t.drop_columns(

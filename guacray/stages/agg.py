@@ -187,6 +187,57 @@ def auto_join(left, right, *, on: str, right_on: str,
                      on=(on,), right_on=(right_on,))
 
 
+def left_lookup_join(left, right, *, on: str, right_on: str,
+                     value_col: str, out: str,
+                     default_from: str | None = None,
+                     broadcast_threshold: int = 2_000_000,
+                     num_partitions: int | None = None):
+    """LEFT lookup join: stamp ``out`` = right[value_col] matched on
+    key; unmatched rows fall back to left[default_from] (or null).
+
+    The distributed replacement for the "collect a dict to the driver
+    and .get() per row" labeling pattern: size-aware like ``auto_join``
+    (broadcast pandas merge below the threshold, hash-partitioned
+    left_outer Dataset.join above), so the lookup table can be any
+    size and nothing O(table) reaches the driver.  Right keys must be
+    unique (a duplicate key would fan out left rows)."""
+    import ray
+    right = right.materialize()
+    n_right = right.count()
+    if n_right <= broadcast_threshold:
+        import pandas as pd
+        small = right.to_pandas()[[right_on, value_col]].rename(
+            columns={right_on: "__lk_key", value_col: "__lk_val"})
+        ref = ray.put(small)
+
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            m = batch.merge(ray.get(ref), left_on=on, right_on="__lk_key",
+                            how="left")
+            val = m.pop("__lk_val")
+            if default_from is not None:
+                val = val.fillna(m[default_from])
+            m[out] = val
+            return m.drop(columns=["__lk_key"])
+        return left.map_batches(fn, batch_format="pandas")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"__lk_key": t[right_on], "__lk_val": t[value_col]})
+    right = right.map_batches(project, batch_format="pyarrow")
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    joined = left.join(right, "left_outer", num_partitions=num_partitions,
+                       on=(on,), right_on=("__lk_key",))
+
+    def fin(t: pa.Table) -> pa.Table:
+        val = t["__lk_val"]
+        if default_from is not None:
+            val = pc.coalesce(val, t[default_from])
+        t = t.drop_columns([c for c in ("__lk_key", "__lk_val")
+                            if c in t.column_names])
+        return t.append_column(out, val)
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
 def asof_join(left, right, *, by_left: str, by_right: str,
               on_left: str, on_right: str, right_cols: list[str],
               num_buckets: int | None = None):

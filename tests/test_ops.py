@@ -848,3 +848,22 @@ def test_resize_passthrough_keeps_original_metadata():
     assert bad["payload"] == b"\xff\xd8\xff\xe0 not a raster"
     assert good["error"] == ""
     assert (good["width"], good["height"]) == (8, 8)
+
+
+def test_left_lookup_join_paths_agree():
+    from guacray.stages.agg import left_lookup_join
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "b", "c", "a", None], type=pa.string()),
+        "v": pa.array([1, 2, 3, 4, 5], type=pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "node_id": pa.array(["a", "c"], type=pa.string()),
+        "component": pa.array(["A", "C"], type=pa.string())}))
+    want = {(1, "A"), (2, "b"), (3, "C"), (4, "A"), (5, None)}
+    for thr in (2_000_000, 0):  # broadcast path, then hash-join path
+        got = left_lookup_join(left, right, on="k", right_on="node_id",
+                               value_col="component", out="lab",
+                               default_from="k",
+                               broadcast_threshold=thr).to_pandas()
+        pairs = {(int(v), None if pd.isna(l) else l)
+                 for v, l in zip(got["v"], got["lab"])}
+        assert pairs == want, thr
