@@ -70,6 +70,18 @@ class FakeEnrichmentClient:
         return hit
 
 
+def _cert_table(subj, pred, obj, okey, oname, otype, props) -> pa.Table:
+    return pa.table({
+        "subj_id": pa.array(subj, type=pa.string()),
+        "predicate": pa.array(pred, type=pa.string()),
+        "obj_id": pa.array(obj, type=pa.string()),
+        "obj_key": pa.array(okey, type=pa.string()),
+        "obj_name": pa.array(oname, type=pa.string()),
+        "obj_type": pa.array(otype, type=pa.string()),
+        "props": pa.array(props, type=pa.string()),
+    })
+
+
 class Enricher:
     """Actor-pool stage: node rows → enrichment edge (+node) rows."""
 
@@ -77,7 +89,6 @@ class Enricher:
         self.client = FakeEnrichmentClient(requests_per_sec)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.keys import edge_id as _edge_id
         subj, pred, obj, okey, oname = [], [], [], [], []
         for nid, nkey in zip(batch["node_id"].to_pylist(),
                              batch["node_key"].to_pylist()):
@@ -88,50 +99,156 @@ class Enricher:
             obj.append(node_id(ckey))
             okey.append(ckey)
             oname.append(cat)
-        return pa.table({
-            "subj_id": pa.array(subj, type=pa.string()),
-            "predicate": pa.array(pred, type=pa.string()),
-            "obj_id": pa.array(obj, type=pa.string()),
-            "obj_key": pa.array(okey, type=pa.string()),
-            "obj_name": pa.array(oname, type=pa.string()),
-        })
+        n = len(subj)
+        return _cert_table(subj, pred, obj, okey, oname,
+                           ["category"] * n, [""] * n)
+
+
+# ------------------------------------------------- vuln-scan certifier
+#
+# Negative evidence: the reference's vulnerability parser emits an
+# explicit "scanned and CLEAN" statement — a CertifyVuln edge to the
+# noVuln sentinel node (/root/reference/pkg/ingestor/parser/vuln/
+# vuln.go:59,75-206) — so queries can distinguish "never scanned" from
+# "scanned, nothing found".  The analog: a second certifier kind whose
+# clean results are queryable ``scanned_clean`` edges to one sentinel.
+
+VULN_PREDICATE = "affected_by"
+CLEAN_PREDICATE = "scanned_clean"
+NOVULN_NAME = "NoVuln"
+SCANNER_PROPS = "scanner=fakescan-v1"
+
+
+class FakeVulnScanClient:
+    """Deterministic stand-in for a batch vuln-scan API: ~25% of keys
+    report one finding, the rest scan clean.  Same client shape as
+    FakeEnrichmentClient (rate-limitable, per-actor cache)."""
+
+    def __init__(self, requests_per_sec: float | None = None):
+        self.requests_per_sec = requests_per_sec
+        self._last = 0.0
+        self.cache: dict[str, list[str]] = {}
+
+    def scan(self, node_key: str) -> list[str]:
+        hit = self.cache.get(node_key)
+        if hit is None:
+            if self.requests_per_sec:
+                wait = self._last + 1.0 / self.requests_per_sec - time.time()
+                if wait > 0:
+                    time.sleep(wait)
+                self._last = time.time()
+            h = content_id("vulnscan", node_key)
+            hit = [f"VULN-{h[2:8]}"] if int(h[:2], 16) < 64 else []
+            self.cache[node_key] = hit
+        return hit
+
+
+class VulnCertifier:
+    """Actor-pool stage: node rows → vuln edges OR clean-scan edges.
+
+    A finding emits (node)-[affected_by]->(vuln); a clean scan emits
+    (node)-[scanned_clean]->(NoVuln sentinel).  Scanner identity rides
+    in props (part of edge identity — a different scanner version is a
+    different attestation), so replaying the same pass is idempotent
+    while upgrading the scanner re-attests."""
+
+    def __init__(self, requests_per_sec: float | None = None):
+        self.client = FakeVulnScanClient(requests_per_sec)
+        self.novuln_key = entity_key("vuln", NOVULN_NAME)
+        self.novuln_id = node_id(self.novuln_key)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        subj, pred, obj, okey, oname = [], [], [], [], []
+        for nid, nkey in zip(batch["node_id"].to_pylist(),
+                             batch["node_key"].to_pylist()):
+            vulns = self.client.scan(nkey)
+            if vulns:
+                for v in vulns:
+                    vkey = entity_key("vuln", v)
+                    subj.append(nid)
+                    pred.append(VULN_PREDICATE)
+                    obj.append(node_id(vkey))
+                    okey.append(vkey)
+                    oname.append(v)
+            else:
+                subj.append(nid)
+                pred.append(CLEAN_PREDICATE)
+                obj.append(self.novuln_id)
+                okey.append(self.novuln_key)
+                oname.append(NOVULN_NAME)
+        n = len(subj)
+        return _cert_table(subj, pred, obj, okey, oname,
+                           ["vuln"] * n, [SCANNER_PROPS] * n)
+
+
+# Certifier registry — the reference registers multiple certifier kinds
+# and tracks a lastScan horizon PER kind
+# (/root/reference/pkg/certifier/certify/certify.go:48-56,
+# components/root_package/root_package.go:74-79).  Scan state here is
+# keyed by (node_id, certifier) for the same reason: scanning a node
+# with one certifier must not mark it fresh for the others.
+CERTIFIERS: dict[str, dict] = {
+    "category": {"stage": Enricher, "node_type": "org",
+                 "rescan_after_s": 24 * 3600.0},
+    "vulnscan": {"stage": VulnCertifier, "node_type": "product",
+                 "rescan_after_s": 6 * 3600.0},
+}
 
 
 def _scan_state_path(out_dir: str) -> str:
     return os.path.join(out_dir, "scan_state")
 
 
+def _read_store_nodes(out_dir: str, node_type: str):
+    """node_type-filtered read that works for flat AND incremental
+    (hive bucket-partitioned) node tables."""
+    from ..query.graph import GraphStore
+    return GraphStore(out_dir).nodes(node_type=node_type)
+
+
 def nodes_needing_scan(out_dir: str, *, node_type: str,
-                       rescan_after_s: float, now: float):
+                       rescan_after_s: float, now: float,
+                       certifier: str = "category"):
     """The ``findPackagesThatNeedScanning`` analog: typed nodes whose
-    last scan is older than the horizon (or never scanned) — a
-    distributed anti join against the fresh slice of the scan state
-    (size-aware: broadcast array below threshold, Bloom + hash join
-    above; the state table never reaches the driver)."""
+    last scan BY THIS CERTIFIER is older than the horizon (or never
+    scanned) — a distributed anti join against the fresh slice of the
+    scan state (size-aware: broadcast array below threshold, Bloom +
+    hash join above; the state table never reaches the driver)."""
     from ..stages.agg import semi_join
-    nodes = rd.read_parquet(os.path.join(out_dir, "nodes"),
-                            filter=pc.field("node_type") == node_type)
+    nodes = _read_store_nodes(out_dir, node_type)
     state = _scan_state_path(out_dir)
     if not os.path.isdir(state):
         return nodes
     cutoff = now - rescan_after_s
-    fresh = rd.read_parquet(state,
-                            filter=pc.field("last_scan_unix") >= cutoff)
+    fresh = rd.read_parquet(
+        state, filter=(pc.field("certifier") == certifier)
+        & (pc.field("last_scan_unix") >= cutoff))
     return semi_join(nodes, fresh, on="node_id", anti=True)
 
 
-def run_enrichment(out_dir: str, *, node_type: str = "org",
-                   rescan_after_s: float = 24 * 3600.0,
+def run_enrichment(out_dir: str, *, certifier: str = "category",
+                   node_type: str | None = None,
+                   rescan_after_s: float | None = None,
                    concurrency=(1, 4), now: float | None = None) -> dict:
-    """One certifier pass. Returns counts {scanned, new_edges_total}.
+    """One pass of one registered certifier kind.  Returns counts
+    {scanned, edges_total}.
 
-    Merging uses union + keyed dedup — identical content keys collapse,
+    Merging uses content-keyed dedup — identical content keys collapse,
     so running this twice (or crashing between steps and rerunning) is
     idempotent, exactly like GUAC's at-least-once queue + content-keyed
-    upsert (SURVEY.md §3.3)."""
+    upsert (SURVEY.md §3.3).  On an INCREMENTAL store the merge is the
+    touched-bucket delta merge (pipelines/increment.py) — a daily
+    certifier pass rewrites only the bucket partitions its new ids land
+    in, never the whole graph; flat stores fall back to the full
+    union+dedup rewrite (the only option for a single-dir table)."""
+    spec = CERTIFIERS[certifier]
+    node_type = node_type or spec["node_type"]
+    rescan_after_s = spec["rescan_after_s"] if rescan_after_s is None \
+        else rescan_after_s
     now = time.time() if now is None else now
     todo = nodes_needing_scan(out_dir, node_type=node_type,
-                              rescan_after_s=rescan_after_s, now=now)
+                              rescan_after_s=rescan_after_s, now=now,
+                              certifier=certifier)
     # pin the scan list NOW: the merge below atomically replaces the
     # nodes dir, invalidating lazy reads' resolved file paths —
     # materialize pins blocks, not paths; ids stay a Dataset (never
@@ -143,7 +260,7 @@ def run_enrichment(out_dir: str, *, node_type: str = "org",
         return {"scanned": 0,
                 "edges_total": _dir_num_rows(os.path.join(out_dir, "edges"))}
 
-    enriched = todo.map_batches(Enricher, batch_format="pyarrow",
+    enriched = todo.map_batches(spec["stage"], batch_format="pyarrow",
                                 batch_size=1024, concurrency=concurrency,
                                 num_cpus=1).materialize()
 
@@ -152,14 +269,14 @@ def run_enrichment(out_dir: str, *, node_type: str = "org",
     def to_edges(t: pa.Table) -> pa.Table:
         from ..functions.keys import edge_id as _edge_id
         from ..functions.text import SYMMETRIC_PREDICATES
-        eids = [_edge_id(s, p, o) for s, p, o in
+        eids = [_edge_id(s, p, o, pr) for s, p, o, pr in
                 zip(t["subj_id"].to_pylist(), t["predicate"].to_pylist(),
-                    t["obj_id"].to_pylist())]
+                    t["obj_id"].to_pylist(), t["props"].to_pylist())]
         return pa.table({
             "edge_id": pa.array(eids, type=pa.string()),
             "subj_id": t["subj_id"], "predicate": t["predicate"],
             "obj_id": t["obj_id"],
-            "props": pa.array([""] * t.num_rows, type=pa.string()),
+            "props": t["props"],
             "first_seen": pa.nulls(t.num_rows, type=schemas.TS),
             "n_evidence": pa.array([0] * t.num_rows, type=pa.int64()),
             "undirected": pa.array(
@@ -171,8 +288,7 @@ def run_enrichment(out_dir: str, *, node_type: str = "org",
         from ..functions.keys import node_qualifiers
         return pa.table({
             "node_id": t["obj_id"], "node_key": t["obj_key"],
-            "node_type": pa.array(["category"] * t.num_rows,
-                                  type=pa.string()),
+            "node_type": t["obj_type"],
             "name": t["obj_name"],
             "qualifiers": pa.array(
                 [node_qualifiers(k) for k in t["obj_key"].to_pylist()],
@@ -182,54 +298,77 @@ def run_enrichment(out_dir: str, *, node_type: str = "org",
     new_edges = enriched.map_batches(to_edges, batch_format="pyarrow")
     new_nodes = enriched.map_batches(to_nodes, batch_format="pyarrow")
 
-    # merge: union with existing table, keyed dedup (existing wins on
-    # ties via min — content-equal anyway), atomic overwrite
-    nb = resolve_buckets(None)
-    for name, new_ds, key, schema in (
-            ("edges", new_edges, "edge_id", schemas.EDGES),
-            ("nodes", new_nodes, "node_id", schemas.NODES)):
-        existing = rd.read_parquet(os.path.join(out_dir, name))
-
-        def normalize_schema(t: pa.Table, schema=schema) -> pa.Table:
-            # hive-partitioned layouts read partition columns back as
-            # dictionary type; normalize to the canonical schema before
-            # the union so both sides match
-            return t.select(schema.names).cast(schema)
-        existing = existing.map_batches(normalize_schema,
+    from ..pipelines.increment import LEDGER
+    ledger_path = os.path.join(out_dir, "edges", LEDGER)
+    if os.path.exists(ledger_path):
+        # incremental store: reuse the touched-bucket delta merge —
+        # untouched bucket partitions are hardlinked, never read
+        from ..pipelines.increment import (_read_ledger, _with_bucket,
+                                           merge_delta_tables)
+        from ..functions.hashing import BUCKET_HASH_ID
+        ledger = _read_ledger(os.path.join(out_dir, "edges"))
+        if ledger.get("bucket_hash") != BUCKET_HASH_ID:
+            raise RuntimeError(
+                f"store at {out_dir} bucket-stamped with "
+                f"{ledger.get('bucket_hash')!r}; this build uses "
+                f"{BUCKET_HASH_ID!r} — rebuild with init_incremental")
+        nb = ledger["num_buckets"]
+        d_nodes = new_nodes.map_batches(_with_bucket("node_id", nb),
                                         batch_format="pyarrow")
-        merged = existing.union(new_ds)
+        d_edges = new_edges.map_batches(_with_bucket("edge_id", nb),
+                                        batch_format="pyarrow")
+        merge_delta_tables(out_dir, d_nodes, d_edges, dict(ledger))
+    else:
+        # flat store: full union + keyed dedup rewrite (atomic)
+        nb = resolve_buckets(None)
+        for name, new_ds, key, schema in (
+                ("edges", new_edges, "edge_id", schemas.EDGES),
+                ("nodes", new_nodes, "node_id", schemas.NODES)):
+            existing = rd.read_parquet(os.path.join(out_dir, name))
 
-        def bucketed(t: pa.Table, key=key) -> pa.Table:
-            return t.append_column("bucket", bucket_of_hexid(t[key], nb))
+            def normalize_schema(t: pa.Table, schema=schema) -> pa.Table:
+                return t.select(schema.names).cast(schema)
+            existing = existing.map_batches(normalize_schema,
+                                            batch_format="pyarrow")
+            merged = existing.union(new_ds)
 
-        def dedup(t: pa.Table, key=key) -> pa.Table:
-            from ..stages.agg import agg_by_name
-            cols = [c for c in t.column_names if c not in (key, "bucket")]
-            return agg_by_name(t, [key], [(c, "min", c) for c in cols])
+            def bucketed(t: pa.Table, key=key) -> pa.Table:
+                return t.append_column("bucket",
+                                       bucket_of_hexid(t[key], nb))
 
-        merged = merged.map_batches(bucketed, batch_format="pyarrow") \
-            .repartition(nb).groupby("bucket") \
-            .map_groups(dedup, batch_format="pyarrow")
-        write_table(merged, os.path.join(out_dir, name), schema)
+            def dedup(t: pa.Table, key=key) -> pa.Table:
+                from ..stages.agg import agg_by_name
+                cols = [c for c in t.column_names
+                        if c not in (key, "bucket")]
+                return agg_by_name(t, [key], [(c, "min", c) for c in cols])
+
+            merged = merged.map_batches(bucketed, batch_format="pyarrow") \
+                .repartition(nb).groupby("bucket") \
+                .map_groups(dedup, batch_format="pyarrow")
+            write_table(merged, os.path.join(out_dir, name), schema)
 
     # commit scan state (atomic via write_table): union old + newly
-    # scanned, keep-latest per node via a distributed grouped max — the
-    # state table stays in the cluster end to end
+    # scanned, keep-latest per (node, certifier) via a distributed
+    # grouped max — the state table stays in the cluster end to end
     from ..stages.agg import grouped_agg
+    _STATE_SCHEMA = pa.schema([("node_id", pa.string()),
+                               ("certifier", pa.string()),
+                               ("last_scan_unix", pa.float64())])
     new_state = scanned_ds.map_batches(
-        lambda t: t.append_column(
-            "last_scan_unix", pa.array([now] * t.num_rows,
-                                       type=pa.float64())),
+        lambda t: pa.table({
+            "node_id": t["node_id"],
+            "certifier": pa.array([certifier] * t.num_rows,
+                                  type=pa.string()),
+            "last_scan_unix": pa.array([now] * t.num_rows,
+                                       type=pa.float64())}),
         batch_format="pyarrow")
     state_path = _scan_state_path(out_dir)
     if os.path.isdir(state_path):
         old = rd.read_parquet(state_path).map_batches(
-            lambda t: t.select(["node_id", "last_scan_unix"]).cast(
-                pa.schema([("node_id", pa.string()),
-                           ("last_scan_unix", pa.float64())])),
+            lambda t: t.select(_STATE_SCHEMA.names).cast(_STATE_SCHEMA),
             batch_format="pyarrow")
         new_state = old.union(new_state)
-    st = grouped_agg(new_state, ["node_id"],
+    st = grouped_agg(new_state, ["node_id", "certifier"],
                      [("last_scan_unix", "max", "last_scan_unix")])
     write_table(st, state_path)
 

@@ -301,38 +301,56 @@ def ingest_increment(pages_path, out_dir: str, *,
 
     new_ledger = dict(ledger)
     new_ledger["applied"] = ledger["applied"] + [inc]
-    node_cols = [f.name for f in schemas.NODES]
-    edge_cols = [f.name for f in schemas.EDGES]
 
     # 3. per-table: read ONLY the touched live buckets, merge with the
     #    delta in a bucketed group-by, publish (nodes first — their
     #    merge is idempotent; the edges swap commits the increment)
-    plans = (("nodes", nodes_dir, d_nodes, _merge_nodes, node_cols),
-             ("edges", edges_dir, d_edges, _merge_edges, edge_cols))
     stats = {"sec_extract": round(t_extract, 2),
              "sec_canonicalize": round(t_canon, 2)}
     t0 = time.time()
+    stats.update(merge_delta_tables(out_dir, d_nodes, d_edges, new_ledger))
+    stats["sec_merge"] = round(time.time() - t0, 2)
+    return {"increment": inc, "skipped": False, **stats,
+            **table_counts(out_dir)}
+
+
+def merge_delta_tables(out_dir: str, d_nodes, d_edges,
+                       new_ledger: dict) -> dict:
+    """Touched-bucket merge of canonical node/edge DELTA Datasets (a
+    ``bucket`` column already stamped via ``_with_bucket``) into an
+    incremental store: only the live bucket partitions the delta's ids
+    land in are read and rewritten, untouched buckets are HARDLINKED,
+    nodes are published first (any-wins merge — idempotent under
+    crash-replay), the edges swap commits.  Shared by ingest_increment
+    and the certifier loop (pipelines/enrich.py) — a daily enrichment
+    pass must not re-shuffle the whole graph."""
+    nb = new_ledger["num_buckets"]
+    nodes_dir = os.path.join(out_dir, "nodes")
+    edges_dir = os.path.join(out_dir, "edges")
+    node_cols = [f.name for f in schemas.NODES]
+    edge_cols = [f.name for f in schemas.EDGES]
+    plans = (("nodes", nodes_dir, d_nodes, _merge_nodes, node_cols),
+             ("edges", edges_dir, d_edges, _merge_edges, edge_cols))
+    stats = {}
     for name, d, delta, merge_fn, cols in plans:
         touched = _touched(delta)
         live = [f for b in sorted(touched) for f in _bucket_files(d, b)]
+        if name == "edges" and "undirected" in delta.schema().names:
+            delta = delta.drop_columns(["undirected"])
         if live:
             existing = read_parquet_fast(live, columns=cols)
             if name == "edges":
                 existing = existing.drop_columns(["undirected"])
-                delta = delta.drop_columns(["undirected"])
             existing = existing.map_batches(
                 _with_bucket(f"{name[:-1]}_id", nb),
                 batch_format="pyarrow")
             merged = existing.union(delta).groupby("bucket") \
                 .map_groups(merge_fn, batch_format="pyarrow")
         else:
-            merged = (delta.drop_columns(["undirected"])
-                      if name == "edges" else delta)
+            merged = delta
         if name == "edges":
             merged = merged.map_batches(with_undirected,
                                         batch_format="pyarrow")
         _swap_table(d, merged, touched, new_ledger, cols)
         stats[f"touched_{name}_buckets"] = len(touched)
-    stats["sec_merge"] = round(time.time() - t0, 2)
-    return {"increment": inc, "skipped": False, **stats,
-            **table_counts(out_dir)}
+    return stats
