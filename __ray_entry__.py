@@ -96,6 +96,30 @@ def _kg_read(sf_dir: str, table: str):
     return rd.read_parquet(os.path.join(d, table))
 
 
+def _kg_license_refs(sf_dir: str):
+    """CertifyLegal analog surface: one row per license node — key,
+    exact-surface name (LicenseRef-<fnv32a> for text-minted ones), the
+    inline marker props, and how many distinct subjects attest to it.
+    SQL-checked value-for-value against a DuckDB re-derivation over the
+    triples checkpoint."""
+    from guacray.stages.agg import auto_join, grouped_agg
+    store = _kg_store(sf_dir)
+    e = store._read_edges(predicates=["licensed_under"])
+    agg = grouped_agg(e, ["obj_id"],
+                      [("props", "min", "props"),
+                       ("subj_id", "count", "n_subjects")])
+    lic = store.nodes(node_type="license")
+    out = auto_join(agg, lic, on="obj_id", right_on="node_id",
+                    right_rename={"node_id": "node_id",
+                                  "node_key": "license_key",
+                                  "name": "license_name"})
+    import pyarrow as pa
+    return out.map_batches(
+        lambda t: t.select(["license_key", "license_name", "props",
+                            "n_subjects"]),
+        batch_format="pyarrow")
+
+
 def _kg_chain_3hop(sf_dir: str):
     """3-hop analytic chain (person -works_at-> org -acquired-> org
     -released-> product) with a per-hop typed-prop filter on the last
@@ -233,6 +257,17 @@ def _kg_oracles() -> dict[str, str]:
             SELECT predicate, props, COUNT(DISTINCT edge_id) AS n_edges
             FROM read_parquet('{tri}')
             WHERE props <> '' GROUP BY predicate, props
+        """,
+        # license nodes (CertifyLegal analog): name is the exact surface
+        # (LicenseRef-<fnv32a> when text-minted); edge dedup makes the
+        # per-license edge count equal COUNT(DISTINCT subj)
+        "kg_license_refs": f"""
+            SELECT obj_key AS license_key, MIN(obj_name) AS license_name,
+                   MIN(props) AS props,
+                   COUNT(DISTINCT subj_id) AS n_subjects
+            FROM read_parquet('{tri}')
+            WHERE predicate = 'licensed_under'
+            GROUP BY obj_key
         """,
         # incremental (two-increment) store must equal the batch
         # rebuild — same oracle derivation as kg_edges
@@ -473,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_class_reachable": _kg_class_reachable,
         "kg_toposort": _kg_toposort,
         "kg_affected_versions": _kg_affected_versions,
+        "kg_license_refs": _kg_license_refs,
         # relational operator surface (SQL-checked)
         "q1_pricing_summary": R.q1_pricing_summary,
         "top_orders_by_revenue": R.top_orders_by_revenue,

@@ -85,7 +85,7 @@ def run_bench() -> dict:
                                  _PAGES_FOR_SF.get(sf, 4096)))
     # v2: generator gained role-clause sentences (typed edge props) —
     # new dir so stale round-1 shards are never mixed in
-    pages_dir = f"/tmp/guacray_bench/pages_v2_{sf}_{n_pages}"
+    pages_dir = f"/tmp/guacray_bench/pages_v3_{sf}_{n_pages}"
     write_pages_sharded(pages_dir, n_pages, seed=SEED)
 
     # kg-only mode (set by run_scaling's subprocesses): the scaling

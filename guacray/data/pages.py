@@ -48,6 +48,21 @@ _LANGS = ["en"] * 16 + ["de", "es", "fr", "zz"]  # "zz" is gated out
 # role clause for works_at statements (exercises typed edge props)
 _ROLES = ["engineer", "manager", "analyst", "director", "designer"]
 
+# license clauses (the CertifyLegal fixture slice): named SPDX-style ids
+# and inline license TEXTS whose object node is minted by fnv32a hashing
+# (functions/text.hash_license).  Inline texts are sentence-safe: no
+# '.', '!' or '?' (the segmenter would split them) and no '"'.
+_LICENSE_NAMES = ["MIT", "Apache-2.0", "GPL-3.0-only", "BSD-3-Clause",
+                  "MPL-2.0"]
+_LICENSE_TEXTS = [
+    "permission is granted to use copy and modify this software without "
+    "fee provided this notice appears in all copies",
+    "redistribution in source or binary form requires that the above "
+    "copyright notice be retained and the software carries no warranty",
+    "this work is provided as is and may be shared for research and "
+    "evaluation purposes only with attribution to the original authors",
+]
+
 
 def _noise_sentence(rng: random.Random) -> str:
     n = rng.randint(5, 12)
@@ -56,6 +71,14 @@ def _noise_sentence(rng: random.Random) -> str:
 
 
 def _fact_sentence(rng: random.Random, cat: Catalog, head_alias: str | None) -> str:
+    if rng.random() < 0.07:
+        # license statement over a product: 60% named id, 40% inline
+        # text (→ LicenseRef-<fnv32a> minted object node)
+        s = rng.choice(rng.choice(cat.by_type("product")).aliases)
+        if rng.random() < 0.6:
+            return f"{s} is licensed under {rng.choice(_LICENSE_NAMES)}."
+        return (f'{s} is licensed under the terms '
+                f'"{rng.choice(_LICENSE_TEXTS)}".')
     pred, st, ot, fmt = _TEMPLATES[rng.randrange(len(_TEMPLATES))]
     if head_alias is not None and ot == "org":
         # skew: head entity as object

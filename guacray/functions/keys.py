@@ -28,7 +28,7 @@ EMPTY = "guac-empty-@@"  # same sentinel idea as the reference
 
 _SLUG_RE = re.compile(r"[^a-z0-9]+")
 
-ENTITY_TYPES = ("person", "org", "product", "place", "unknown")
+ENTITY_TYPES = ("person", "org", "product", "place", "license", "unknown")
 
 
 def slugify(name: str) -> str:
@@ -120,6 +120,13 @@ def link_surface(surface: str,
     helpers/package.go:26-99): ``HyperWidget 3.0`` →
     ``ent:product::hyperwidget::version=3.0``.
     """
+    # license identifiers type structurally, never via the alias map:
+    # a minted LicenseRef-<fnv32a> (functions/text.hash_license — the
+    # CertifyLegal inline-text scheme, common/license.go:111-116) or a
+    # known SPDX-style id keeps its exact surface as the canonical name
+    from .text import KNOWN_LICENSES
+    if surface.startswith("LicenseRef-") or surface in KNOWN_LICENSES:
+        return "license", entity_key("license", surface), surface
     hit = alias_map.get(surface.lower())
     if hit is None:
         # pkgName-level lookup: an unknown versioned surface whose BASE

@@ -78,9 +78,11 @@ PREDICATE_PATTERNS: list[tuple[str, re.Pattern[str]]] = [
     ("developed_by", re.compile(r"^(?P<s>.+?) is developed by (?P<o>.+?)$")),
     ("partnered_with", re.compile(r"^(?P<s>.+?) partnered with (?P<o>.+?)$")),
     ("ceo_of", re.compile(r"^(?P<s>.+?) is the CEO of (?P<o>.+?)$")),
+    ("licensed_under", re.compile(
+        r"^(?P<s>.+?) is licensed under (?P<o>.+?)$")),
 ]
 
-PREDICATES = [p for p, _ in PREDICATE_PATTERNS]
+PREDICATES = list(dict.fromkeys(p for p, _ in PREDICATE_PATTERNS))
 
 # Undirected ("equal") predicates — the HashEqual/PkgEqual semantics of
 # the reference, where the edge is stored once regardless of statement
@@ -126,6 +128,39 @@ def parse_props(s: str) -> dict[str, str]:
     return out
 
 
+# --- License statements (the CertifyLegal analog) -------------------------
+#
+# A licensed_under object is either a NAMED license identifier
+# (KNOWN_LICENSES — the SPDX-list lookup of ParseLicenses,
+# /root/reference/pkg/ingestor/parser/common/license.go:72-109) or
+# INLINE license text quoted after "the terms": the object node is then
+# MINTED by hashing the attached text, exactly the reference's
+# ``LicenseRef-<fnv32a>`` scheme (HashLicense, license.go:111-116) — the
+# one statement kind whose object identity comes from a long-text hash
+# rather than a surface form.
+
+KNOWN_LICENSES = frozenset({
+    "MIT", "Apache-2.0", "GPL-3.0-only", "BSD-3-Clause", "MPL-2.0",
+})
+
+_INLINE_LICENSE_RE = re.compile(r'^the terms "(?P<t>.+)"$')
+
+
+def fnv32a(data: str) -> int:
+    """FNV-1a 32-bit (public-domain algorithm) — bit-identical to the
+    reference's fnv.New32a() in HashLicense."""
+    h = 0x811C9DC5
+    for b in data.encode("utf-8"):
+        h = ((h ^ b) * 0x01000193) & 0xFFFFFFFF
+    return h
+
+
+def hash_license(inline_text: str) -> str:
+    """``LicenseRef-<fnv32a hex>`` minting (license.go:111-116 parity:
+    Go's %x — lowercase, no zero padding)."""
+    return f"LicenseRef-{fnv32a(inline_text):x}"
+
+
 def derive_props(pred: str, obj: str) -> tuple[str, str]:
     """(object surface, canonical props string) for a raw statement.
 
@@ -134,6 +169,9 @@ def derive_props(pred: str, obj: str) -> tuple[str, str]:
     released: a trailing version number becomes a ``version`` prop; the
     object keeps the full surface (versioned product aliases link as
     such, and the linker mints a version-qualified node).
+    licensed_under: a quoted inline-text object is REPLACED by its
+    minted ``LicenseRef-<fnv32a>`` identifier (HashLicense parity); the
+    ``inline`` prop marks the statement as text-minted.
     """
     if pred == "works_at":
         parts = obj.rsplit(" as ", 1)
@@ -144,6 +182,11 @@ def derive_props(pred: str, obj: str) -> tuple[str, str]:
         m = VERSION_RE.match(obj)
         if m:
             return obj, props_string({"version": m.group("ver")})
+    elif pred == "licensed_under":
+        m = _INLINE_LICENSE_RE.match(obj)
+        if m:
+            return hash_license(m.group("t")), props_string(
+                {"inline": "fnv32a"})
     return obj, ""
 
 

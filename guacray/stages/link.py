@@ -107,6 +107,35 @@ def link_via_join(ds, alias_table, num_partitions: int | None = None):
     surfaces = grouped_agg(surfaces, "surface",
                            [("surface", "count", "__n")]) \
         .drop_columns(["__n"]).materialize()
+
+    # license identifiers resolve STRUCTURALLY, before the alias join —
+    # the same precedence as keys.link_surface (a LicenseRef-<fnv32a> or
+    # known SPDX-style id types as "license" even if some alias
+    # collides case-insensitively)
+    from ..functions.text import KNOWN_LICENSES
+
+    def _license_mask(t: pa.Table):
+        return pc.or_(
+            pc.starts_with(t["surface"], pattern="LicenseRef-"),
+            pc.is_in(t["surface"],
+                     value_set=pa.array(sorted(KNOWN_LICENSES))))
+
+    def mint_license(t: pa.Table) -> pa.Table:
+        t = t.filter(_license_mask(t))
+        surfs = t["surface"].to_pylist()
+        return pa.table({
+            "surface": t["surface"],
+            "rtype": pa.array(["license"] * len(surfs), type=pa.string()),
+            "rkey": pa.array([entity_key("license", s) for s in surfs],
+                             type=pa.string()),
+            "rname": t["surface"],
+        })
+
+    license_side = surfaces.map_batches(mint_license,
+                                        batch_format="pyarrow")
+    surfaces = surfaces.map_batches(
+        lambda t: t.filter(pc.invert(_license_mask(t))),
+        batch_format="pyarrow")
     surfaces = surfaces.map_batches(
         lambda t: t.append_column("lsurface", pc.utf8_lower(t["surface"])),
         batch_format="pyarrow")
@@ -174,7 +203,8 @@ def link_via_join(ds, alias_table, num_partitions: int | None = None):
 
     fallback_side = fallback_side.map_batches(mint_fallback,
                                               batch_format="pyarrow")
-    mapping = matched.union(base_matched2).union(fallback_side).materialize()
+    mapping = matched.union(base_matched2).union(fallback_side) \
+        .union(license_side).materialize()
 
     # 3. join the resolved mapping back, once per side (each surface
     # appears exactly once in `mapping`, so the inner join is 1:1) —

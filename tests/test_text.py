@@ -100,3 +100,37 @@ def test_unicode_through_extraction_and_linking():
     assert out[0]["obj_key"] == "ent:org::m-ller-gmbh"  # slug is ascii-safe
     assert out[0]["subj_key"] == fallback_key("Søren Kierkegård")
     assert all(len(r["edge_id"]) == 32 for r in out)
+
+
+def test_license_minting_fnv32a_parity():
+    """HashLicense parity (common/license.go:111-116): fnv-1a 32-bit,
+    lowercase %x, 'LicenseRef-' prefix.  0x4f9f2cab is the published
+    FNV-1a test vector for 'hello'."""
+    from guacray.functions.text import fnv32a, hash_license
+    assert fnv32a("hello") == 0x4F9F2CAB
+    assert fnv32a("") == 0x811C9DC5  # offset basis
+    assert hash_license("hello") == "LicenseRef-4f9f2cab"
+
+
+def test_license_statement_extraction():
+    from guacray.functions.text import extract_raw_triples, hash_license
+    text = ('WidgetPro is licensed under MIT. '
+            'GizmoX 2.0 is licensed under the terms '
+            '"use freely without warranty".')
+    got = extract_raw_triples(text)
+    assert got[0] == ("WidgetPro", "licensed_under", "MIT", "")
+    minted = hash_license("use freely without warranty")
+    assert got[1] == ("GizmoX 2.0", "licensed_under", minted,
+                      "inline=fnv32a")
+    assert minted.startswith("LicenseRef-")
+
+
+def test_license_surfaces_link_structurally():
+    """License ids never consult the alias map and keep their exact
+    surface as the canonical name — node_type 'license'."""
+    from guacray.functions.keys import link_surface
+    from guacray.functions.text import hash_license
+    for s in ("Apache-2.0", "MIT", hash_license("some text")):
+        etype, key, name = link_surface(s, {"apache-2.0": ("org", "X")})
+        assert etype == "license" and name == s
+        assert key.startswith("ent:license::")
