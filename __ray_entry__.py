@@ -72,12 +72,18 @@ def _kg_store(sf_dir: str):
     nodes+edges from it — instead of re-executing the whole lineage per
     output table.  The triples checkpoint doubles as the independent
     input the DuckDB oracles re-derive the canonical tables from."""
+    from guacray.data.attest import write_attestations
     from guacray.pipelines.kg import run_kg
     from guacray.query.graph import GraphStore
     key = _pages_path(sf_dir)
     if key not in _store_cache:
         d = _store_dir(sf_dir)
-        run_kg(key, d)
+        # deterministic signed-attestation slice: identity nodes come
+        # from VERIFIED DSSE envelopes (fixed seed → stable envelope
+        # bytes → stable node/edge ids across processes)
+        att_dir = d + "_att"
+        keys = write_attestations(att_dir, n=24, seed=42)
+        run_kg(key, d, attestations_path=att_dir, public_keys=keys)
         _store_cache[key] = d
     return GraphStore(_store_cache[key])
 
@@ -117,6 +123,29 @@ def _kg_license_refs(sf_dir: str):
     return out.map_batches(
         lambda t: t.select(["license_key", "license_name", "props",
                             "n_subjects"]),
+        batch_format="pyarrow")
+
+
+def _kg_identities(sf_dir: str):
+    """Identity-propagation surface (GetIdentities/TrustInformation,
+    reference parser/common/types.go:25-41): one row per verified
+    signing identity with how many distinct documents it signed.
+    Identities enter the graph via the DSSE attestation slice of the
+    flagship store (run_kg attestations_path)."""
+    from guacray.stages.agg import auto_join, grouped_agg
+    store = _kg_store(sf_dir)
+    e = store._read_edges(predicates=["signed"])
+    # edges are content-deduped and `signed` props are constant, so one
+    # edge row per (identity, document) — count == count-distinct
+    agg = grouped_agg(e, ["subj_id"],
+                      [("obj_id", "count", "n_signed")])
+    idn = store.nodes(node_type="identity")
+    out = auto_join(agg, idn, on="subj_id", right_on="node_id",
+                    right_rename={"node_id": "node_id",
+                                  "node_key": "identity_key",
+                                  "name": "keyid"})
+    return out.map_batches(
+        lambda t: t.select(["identity_key", "keyid", "n_signed"]),
         batch_format="pyarrow")
 
 
@@ -269,6 +298,15 @@ def _kg_oracles() -> dict[str, str]:
             WHERE predicate = 'licensed_under'
             GROUP BY obj_key
         """,
+        # verified signing identities (GetIdentities analog): edge
+        # dedup makes the per-identity count equal COUNT(DISTINCT obj)
+        "kg_identities": f"""
+            SELECT subj_key AS identity_key, MIN(subj_name) AS keyid,
+                   COUNT(DISTINCT obj_id) AS n_signed
+            FROM read_parquet('{tri}')
+            WHERE predicate = 'signed'
+            GROUP BY subj_key
+        """,
         # incremental (two-increment) store must equal the batch
         # rebuild — same oracle derivation as kg_edges
         "kg_incremental_edges": f"""
@@ -282,7 +320,12 @@ def _kg_oracles() -> dict[str, str]:
                    MIN(warc_ts) AS first_seen,
                    COUNT(*) AS n_evidence,
                    MIN(predicate) IN ({sym}) AS undirected
-            FROM read_parquet('{tri}') GROUP BY edge_id
+            FROM read_parquet('{tri}')
+            -- the incremental store ingests the PAGES increments only;
+            -- attestation-derived signed edges live in the batch
+            -- flagship store alone
+            WHERE predicate <> 'signed'
+            GROUP BY edge_id
         """,
         "kg_degree_hist": f"""
             WITH deg AS (
@@ -509,6 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_toposort": _kg_toposort,
         "kg_affected_versions": _kg_affected_versions,
         "kg_license_refs": _kg_license_refs,
+        "kg_identities": _kg_identities,
         # relational operator surface (SQL-checked)
         "q1_pricing_summary": R.q1_pricing_summary,
         "top_orders_by_revenue": R.top_orders_by_revenue,

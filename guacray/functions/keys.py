@@ -28,7 +28,8 @@ EMPTY = "guac-empty-@@"  # same sentinel idea as the reference
 
 _SLUG_RE = re.compile(r"[^a-z0-9]+")
 
-ENTITY_TYPES = ("person", "org", "product", "place", "license", "unknown")
+ENTITY_TYPES = ("person", "org", "product", "place", "license",
+                "identity", "document", "unknown")
 
 
 def slugify(name: str) -> str:

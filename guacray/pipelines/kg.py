@@ -207,7 +207,9 @@ def evidence_view(out_dir: str):
 def run_kg(pages_path: str, out_dir: str, *, num_buckets: int | None = None,
            link_concurrency=None, seed: int = 42,
            partition_edges_by_predicate: bool = False,
-           checkpoint_mode: str | None = None) -> dict:
+           checkpoint_mode: str | None = None,
+           attestations_path: str | None = None,
+           public_keys: dict[str, bytes] | None = None) -> dict:
     """One-shot run: pages parquet → out_dir/{triples,nodes,edges}.
 
     Three executions total in the default ("disk") mode, each streaming
@@ -224,6 +226,19 @@ def run_kg(pages_path: str, out_dir: str, *, num_buckets: int | None = None,
     alias_ref = broadcast_alias_map(seed)
     pages = read_parquet_fast(pages_path)
     triples = linked_triples(pages, alias_ref, link_concurrency)
+    if attestations_path is not None:
+        # signed-attestation slice (identity propagation,
+        # parser/common/types.go:25-41): verified DSSE envelopes emit
+        # (identity)-[signed]->(document) statements in the same
+        # TRIPLES shape, unioned BEFORE the checkpoint so every
+        # downstream consumer (exchange, evidence view, oracles) sees
+        # one consistent statement log
+        from ..sources.readers import (dsse_identity_triples,
+                                       read_binary_docs,
+                                       verify_dsse_stage)
+        att = dsse_identity_triples(verify_dsse_stage(
+            read_binary_docs(attestations_path), public_keys or {}))
+        triples = triples.union(att)
     tri_dir = os.path.join(out_dir, "triples")
     # checkpoint mode (env GUACRAY_CHECKPOINT overrides):
     #   "disk" (default) — write the durable checkpoint, then re-read it

@@ -510,6 +510,91 @@ def verify_dsse_stage(ds, public_keys: dict[str, bytes],
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def dsse_identity_triples(verified_ds, warc_ts=None):
+    """Verified DSSE envelopes → (identity)-[signed]->(document)
+    statements in the canonical TRIPLES shape, ready for
+    ``canonicalize.graph_tables`` (alone or unioned with extracted
+    triples).
+
+    This is the identity-propagation contract of the reference's parser
+    interface — ``GetIdentities``/``TrustInformation``
+    (/root/reference/pkg/ingestor/parser/common/types.go:25-41,
+    parser/dsse/parser_dsse.go:60-100): each VERIFIED signature emits a
+    trust statement binding the signing key identity to the signed
+    artifact.  One row per (envelope, verified keyid); unverified rows
+    emit nothing (the reference logs and drops them too).
+
+    Graph shape: subj = identity node (node_type ``identity``, name =
+    keyid), obj = document node (node_type ``document``, name = the
+    blob-store ``document_ref`` of the signed payload), props carry the
+    DSSE payloadType + signature scheme (part of edge identity — the
+    same artifact attested under a different payload type is a
+    different trust statement).
+    """
+    import pyarrow as _pa
+
+    from ..functions.hashing import document_ref as _dref
+    from ..functions.keys import entity_key
+    from ..functions.text import props_string
+    from ..stages.canonicalize import add_ids_batch
+
+    ts_type = _pa.timestamp("us", tz="UTC")
+
+    def fn(batch: _pa.Table) -> _pa.Table:
+        cols: dict[str, list] = {k: [] for k in (
+            "url", "document_ref", "subj_surface", "predicate",
+            "obj_surface", "props", "subj_type", "subj_key",
+            "subj_name", "obj_type", "obj_key", "obj_name")}
+        ts_vals: list = []
+        have_ts = "warc_ts" in batch.column_names
+        ts_in = batch["warc_ts"].to_pylist() if have_ts else None
+        for i, (path, payload, ptype, ok, keyids) in enumerate(zip(
+                batch["path"].to_pylist(), batch["payload"].to_pylist(),
+                batch["payload_type"].to_pylist(),
+                batch["verified"].to_pylist(),
+                batch["keyids"].to_pylist())):
+            if not ok or not keyids:
+                continue
+            ref = _dref(payload)
+            props = props_string({"payload_type": ptype,
+                                  "scheme": "ed25519"})
+            for keyid in keyids.split(","):
+                cols["url"].append(path)
+                cols["document_ref"].append(ref)
+                cols["subj_surface"].append(keyid)
+                cols["predicate"].append("signed")
+                cols["obj_surface"].append(ref)
+                cols["props"].append(props)
+                cols["subj_type"].append("identity")
+                cols["subj_key"].append(entity_key("identity", keyid))
+                cols["subj_name"].append(keyid)
+                cols["obj_type"].append("document")
+                cols["obj_key"].append(entity_key("document", ref))
+                cols["obj_name"].append(ref)
+                ts_vals.append(ts_in[i] if have_ts else warc_ts)
+        t = _pa.table({
+            "url": _pa.array(cols["url"], type=_pa.string()),
+            "warc_ts": _pa.array(ts_vals, type=ts_type),
+            "document_ref": _pa.array(cols["document_ref"],
+                                      type=_pa.string()),
+            "subj_surface": _pa.array(cols["subj_surface"],
+                                      type=_pa.string()),
+            "predicate": _pa.array(cols["predicate"], type=_pa.string()),
+            "obj_surface": _pa.array(cols["obj_surface"],
+                                     type=_pa.string()),
+            "props": _pa.array(cols["props"], type=_pa.string()),
+            "subj_type": _pa.array(cols["subj_type"], type=_pa.string()),
+            "subj_key": _pa.array(cols["subj_key"], type=_pa.string()),
+            "subj_name": _pa.array(cols["subj_name"], type=_pa.string()),
+            "obj_type": _pa.array(cols["obj_type"], type=_pa.string()),
+            "obj_key": _pa.array(cols["obj_key"], type=_pa.string()),
+            "obj_name": _pa.array(cols["obj_name"], type=_pa.string()),
+        })
+        return add_ids_batch(t)
+
+    return verified_ds.map_batches(fn, batch_format="pyarrow")
+
+
 # register the DSSE unpacker between compression and jsonlines (a DSSE
 # envelope is a single JSON object; order = first-applicable-wins)
 UNPACKERS.insert(1, ("dsse", _unpack_dsse))

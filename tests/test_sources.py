@@ -117,6 +117,87 @@ def test_dsse_verify_and_tamper():
     assert r3["verified"] == [] and r3["failed"] == ["k1"]
 
 
+def test_dsse_identity_triples_flow_into_graph(tmp_path):
+    """Identity propagation (GetIdentities/TrustInformation,
+    parser/common/types.go:25-41 + parser_dsse.go:60-100): each
+    VERIFIED signature becomes an (identity)-[signed]->(document)
+    statement that flows through the standard canonicalize exchange —
+    identity rows land in the nodes table, signed edges in edges."""
+    from guacray.functions.hashing import document_ref
+    from guacray.sources.readers import (dsse_identity_triples,
+                                         verify_dsse_stage)
+    from guacray.stages.canonicalize import graph_tables
+
+    payload = b'{"subject": "artifact-1"}'
+    env1, keys1 = _make_envelope(payload)          # keyid k1
+    env2, keys2 = _make_envelope(payload)          # same payload, new key
+    obj2 = json.loads(env2)
+    obj2["signatures"][0]["keyid"] = "k2"
+    env2 = json.dumps(obj2).encode()
+    keys = {**keys1, "k2": keys2["k1"]}
+    env3, _ = _make_envelope(b'{"subject": "evil"}')  # key NOT in map
+    obj3 = json.loads(env3)
+    obj3["signatures"][0]["keyid"] = "k-unknown"
+    (tmp_path / "a.dsse").write_bytes(env1)
+    (tmp_path / "b.dsse").write_bytes(env2)
+    (tmp_path / "c.dsse").write_bytes(json.dumps(obj3).encode())
+
+    verified = verify_dsse_stage(read_binary_docs(str(tmp_path)), keys)
+    triples = dsse_identity_triples(verified).to_pandas()
+    # only the two verified envelopes emit; both point at ONE document
+    assert sorted(triples["subj_name"]) == ["k1", "k2"]
+    assert set(triples["predicate"]) == {"signed"}
+    assert set(triples["obj_name"]) == {document_ref(payload)}
+    assert all("payload_type=" in p and "scheme=ed25519" in p
+               for p in triples["props"])
+
+    nodes, edges = graph_tables(
+        dsse_identity_triples(verify_dsse_stage(
+            read_binary_docs(str(tmp_path)), keys)), num_buckets=4)
+    n = nodes.to_pandas()
+    e = edges.to_pandas()
+    idents = n[n.node_type == "identity"]
+    docs = n[n.node_type == "document"]
+    assert sorted(idents["name"]) == ["k1", "k2"]
+    assert len(docs) == 1 and docs.iloc[0]["name"] == document_ref(payload)
+    assert len(e) == 2 and set(e["predicate"]) == {"signed"}
+    assert not e["undirected"].any()
+    # edge objects all resolve to the single document node
+    assert set(e["obj_id"]) == set(docs["node_id"])
+
+
+def test_attestation_fixture_into_flagship_store(tmp_path):
+    """run_kg with an attestation dir: verified identities land in the
+    nodes table, unverified (rogue-key / tampered) envelopes are
+    dropped, and the build is deterministic (same ids across runs)."""
+    from guacray.data.attest import write_attestations
+    from guacray.data.pages import write_pages
+    from guacray.pipelines.kg import run_kg
+
+    pages = str(tmp_path / "pages.parquet")
+    write_pages(pages, 64)
+    att = str(tmp_path / "att")
+    keys = write_attestations(att, n=24, seed=42)
+    out1 = str(tmp_path / "g1")
+    c1 = run_kg(pages, out1, attestations_path=att, public_keys=keys)
+    import pyarrow.parquet as pq
+    n = pq.read_table(os.path.join(out1, "nodes")).to_pandas()
+    e = pq.read_table(os.path.join(out1, "edges")).to_pandas()
+    idents = n[n.node_type == "identity"]
+    assert len(idents) == 4                      # the 4 trusted keys
+    assert all(k.startswith("key-") for k in idents["name"])
+    signed = e[e.predicate == "signed"]
+    # 24 envelopes − 3 rogue-key (i%8==7) − 2 tampered (i%11==10) = 19
+    assert len(signed) == 19
+    assert set(signed["subj_id"]) == set(idents["node_id"])
+    # determinism: a rebuild in another dir yields identical tables
+    out2 = str(tmp_path / "g2")
+    c2 = run_kg(pages, out2, attestations_path=att, public_keys=keys)
+    assert c1 == c2
+    n2 = pq.read_table(os.path.join(out2, "nodes")).to_pandas()
+    assert sorted(n2["node_id"]) == sorted(n["node_id"])
+
+
 def test_dsse_unpack_recurses_to_payload_lines(tmp_path):
     """DSSE envelope wrapping a JSON-Lines payload: unpack_tree walks
     envelope → payload → lines (the DocumentTree recursion the
