@@ -67,21 +67,29 @@ def resolve_buckets_pow2(num_buckets: int | None = None) -> int:
     return 1 << (b - 1).bit_length()
 
 
-def _exchange(partials, merge_fn, num_buckets: int):
+def _exchange(partials, merge_fn, num_buckets: int,
+              coalesce: bool | None = None):
     """Bucketed exchange: coalesce the (small) partial blocks to
     ``num_buckets`` blocks first — the sort shuffle moves #map-blocks ×
     #reduce-blocks objects, so feeding it hundreds of tiny combiner
     outputs costs more than the sort itself (measured 5× on 550k rows).
 
-    The coalesce is SKIPPED when the input already has at most
-    ~2×num_buckets blocks (e.g. a compacted checkpoint read): there the
-    repartition is a full extra pass over the partial rows for nothing.
+    ``coalesce``: None = decide from ``num_blocks()`` (a fully lazy
+    in-flight pipeline raises there and defaults to repartitioning).
+    Round-4 interleaved A/B at 1M pages: the repartition wins ~3× at 32
+    CPUs and ~1.7× at 8 EVEN on an already-compacted 23-block
+    checkpoint read (12.5s → 4.1s / 19.8s → 11.8s for the full
+    exchange) — i.e. the skip heuristic's premise only holds for truly
+    pre-bucketed inputs.  The explicit flag exists for callers that
+    measured their layout; when unsure, leave None.
     """
-    try:
-        n_blocks = partials.num_blocks()
-    except Exception:
-        n_blocks = None
-    if n_blocks is None or n_blocks > 2 * num_buckets:
+    if coalesce is None:
+        try:
+            n_blocks = partials.num_blocks()
+        except Exception:
+            n_blocks = None
+        coalesce = n_blocks is None or n_blocks > 2 * num_buckets
+    if coalesce:
         partials = partials.repartition(num_buckets)
     return partials.groupby("bucket").map_groups(merge_fn,
                                                  batch_format="pyarrow")
@@ -275,12 +283,18 @@ def _combined_merge(group: pa.Table) -> pa.Table:
         ("d", "min", "d"), ("ts", "min", "ts"), ("n", "sum", "n")])
 
 
-def graph_tables(linked_ds, num_buckets: int | None = None):
+def graph_tables(linked_ds, num_buckets: int | None = None,
+                 coalesce: bool | None = None):
     """One exchange → (nodes Dataset, edges Dataset).
 
     The combined result is materialized (it is canonical-size — orders
     of magnitude smaller than the triples input), then the two table
     views are cheap in-memory projections.
+
+    ``coalesce`` forwards to ``_exchange``; pass False when the input
+    is already compacted (~200k-row blocks from a checkpoint read or
+    the fused writer) so the lazy-input fallback never inserts a
+    serial repartition.
     """
     nb = resolve_buckets(num_buckets)
     # batch_size=None → combiner sees whole blocks; on 1024-row default
@@ -289,7 +303,8 @@ def graph_tables(linked_ds, num_buckets: int | None = None):
     partial = linked_ds.map_batches(
         lambda b: _combined_partial(b, nb), batch_format="pyarrow",
         batch_size=None)
-    combined = _exchange(partial, _combined_merge, nb).materialize()
+    combined = _exchange(partial, _combined_merge, nb,
+                         coalesce=coalesce).materialize()
 
     def to_nodes(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["kind"], pa.scalar(0, type=pa.int8())))
