@@ -173,9 +173,16 @@ def run_scaling() -> dict:
         # 3 in-process repeats × 2 interleaved rounds = min-of-6 per
         # level (the round-2 protocol); the single-run bench defaults
         # to min-of-5 instead
+        # pin ONE checkpoint mode across both parallelism levels: the
+        # size-aware auto dispatch would pick fused at 8 CPUs and disk
+        # at 32 on this fixture (it optimizes each level's absolute
+        # time), and a ratio across two different pipelines measures
+        # the dispatch, not the scaling
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_PAGES=str(scaling_pages),
                    GRAFT_KG_ONLY="1",
+                   GUACRAY_CHECKPOINT=os.environ.get(
+                       "GUACRAY_CHECKPOINT", "disk"),
                    GRAFT_KG_REPEATS=os.environ.get("GRAFT_KG_REPEATS", "3"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,

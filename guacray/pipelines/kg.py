@@ -103,7 +103,97 @@ def read_parquet_fast(path_or_paths, **kwargs):
         ctx.decoding_size_estimation = old
 
 
-def _fused_checkpoint_writer(tmp_dir: str):
+def read_pages_scaled(pages_path: str, tasks_per_actor: int = 12):
+    """Pages read with task granularity sized to the linker pool.
+
+    The linker's task unit is one input block; with N large shards on a
+    wide pool, mtif-deep eager binding quantizes the tail (some actors
+    queue 2× the tasks of others).  Splitting the read to ~12 tasks per
+    actor fixed that at 32 CPUs (1M pages: 23.1→19.0 s interleaved)
+    but HURT at 8 CPUs (54.9→70.7 s — per-task overhead dominates when
+    the pool is narrow), so the override only applies when the target
+    exceeds the shard count, which a narrow pool never reaches.
+    """
+    from ..stages.link import default_pool_size
+    target = tasks_per_actor * default_pool_size()[1]
+    try:
+        n_files = sum(1 for _, _, fs in os.walk(pages_path)
+                      for f in fs if f.endswith(".parquet"))
+    except OSError:
+        n_files = 0  # non-local path: leave block sizing to the planner
+    if n_files and target > n_files:
+        return read_parquet_fast(pages_path, override_num_blocks=target)
+    return read_parquet_fast(pages_path)
+
+
+class _CkptFlushRegistry:
+    """Tracks in-flight background checkpoint writes for fused mode.
+
+    Names are content hashes of the block, so the sets are idempotent
+    under Ray task retries: a retried task re-registers and rewrites
+    the SAME name byte-for-byte, and a first attempt that died between
+    ``expect`` and ``mark_done`` is healed when the retry's write
+    lands (done is keyed by name, not by attempt)."""
+
+    def __init__(self):
+        self._expected: set = set()
+        self._done: set = set()
+        self._errors: dict = {}
+
+    def expect(self, name: str) -> None:
+        self._expected.add(name)
+
+    def mark_done(self, name: str, err: str | None = None) -> None:
+        if err is None:
+            self._done.add(name)
+        else:
+            self._errors[name] = err
+
+    def pending(self) -> tuple[list, dict]:
+        return sorted(self._expected - self._done), dict(self._errors)
+
+
+def _await_ckpt_flush(registry, timeout_s: float = 300.0) -> None:
+    """Barrier: block until every expected background write landed.
+
+    Sound because ``expect`` is registered SYNCHRONOUSLY inside the map
+    task before it returns — once the exchange execution completes,
+    every task has returned, hence every enqueued write is in
+    ``expected``; polling until the done-set covers it observes the
+    complete picture."""
+    import ray
+    deadline = time.time() + timeout_s
+    while True:
+        pending, errors = ray.get(registry.pending.remote())
+        if errors:
+            raise IOError(f"fused checkpoint writes failed: {errors}")
+        if not pending:
+            return
+        if time.time() > deadline:
+            # a worker process died AFTER its task returned but BEFORE
+            # its background write flushed — outside Ray's lineage, so
+            # the block is unrecoverable; fail loudly (rerun = fresh
+            # job, the tmp dir was never promoted)
+            raise IOError(
+                f"fused checkpoint flush timed out; missing: {pending}")
+        time.sleep(0.05)
+
+
+_FUSED_WRITE_POOL = None  # per worker process, lazily created
+
+
+def _fused_write_pool():
+    global _FUSED_WRITE_POOL
+    if _FUSED_WRITE_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        # 1 thread: writes are ~0.35 s per 200k-row block and blocks
+        # arrive slower than that; a single writer keeps at most one
+        # compression running beside the UDF instead of oversubscribing
+        _FUSED_WRITE_POOL = ThreadPoolExecutor(max_workers=1)
+    return _FUSED_WRITE_POOL
+
+
+def _fused_checkpoint_writer(tmp_dir: str, registry=None):
     """Pass-through block stage: persist each triples block to the
     checkpoint tmp dir AND emit the pruned canonicalize projection.
 
@@ -112,6 +202,13 @@ def _fused_checkpoint_writer(tmp_dir: str):
     full executor teardown/startup plus a serial read-back of the whole
     checkpoint between the two, which is the pipeline's largest
     non-scaling term at saturation (BASELINE.md round-3 study).
+
+    With ``registry`` (async mode) the parquet write itself also moves
+    OFF the task's critical path onto a per-worker writer thread —
+    pyarrow's writer releases the GIL, so compression overlaps the next
+    batch's UDF work; ``_await_ckpt_flush`` is the completion barrier
+    before the tmp dir is promoted.  Durability is identical to sync
+    fused: nothing is promoted until every write landed.
 
     Idempotent under Ray task retries: the filename is a deterministic
     content hash of the block (vectorized), so a retried task rewrites
@@ -138,7 +235,23 @@ def _fused_checkpoint_writer(tmp_dir: str):
                     if i else ch
             name = (f"blk-{batch.num_rows}-"
                     f"{np.bitwise_xor.reduce(h):016x}-{h.sum():016x}")
-            pq.write_table(batch, os.path.join(tmp_dir, f"{name}.parquet"))
+            path = os.path.join(tmp_dir, f"{name}.parquet")
+            if registry is None:
+                pq.write_table(batch, path)
+            else:
+                import ray
+                # synchronous on purpose: the task must not complete
+                # before its name is registered (see _await_ckpt_flush)
+                ray.get(registry.expect.remote(name))
+
+                def _bg_write(b=batch, p=path, n=name):
+                    try:
+                        pq.write_table(b, p)
+                        registry.mark_done.remote(n)
+                    except Exception as exc:  # surfaced at the barrier
+                        registry.mark_done.remote(n, repr(exc))
+
+                _fused_write_pool().submit(_bg_write)
         return batch.select(CANON_COLS)
 
     return write_and_project
@@ -204,6 +317,47 @@ def evidence_view(out_dir: str):
                            columns=EVIDENCE_COLS)
 
 
+def _auto_checkpoint_mode(pages_path: str,
+                          pages_per_cpu_threshold: int = 24_000) -> str:
+    """Pick disk vs fused checkpointing from estimated work per CPU.
+
+    Round-4 interleaved A/Bs (v3 fixtures, run_kg, min-of-2 per fresh
+    process) put the crossover between the two modes on a single
+    pages-per-CPU axis:
+
+        262k @ 32 CPUs ( 8.2k/cpu): disk 12.4 s  vs fused 16.1 s
+        524k @ 32 CPUs (16.4k/cpu): disk 20.0 s  vs fused 27.2 s (v2)
+        262k @  8 CPUs (32.8k/cpu): disk 35.2 s  vs fused 31.3 s
+        1M   @ 32 CPUs (32.8k/cpu): disk 18.1 s  vs fused 15.9 s
+        1M   @  8 CPUs ( 131k/cpu): disk 44.8 s  vs fused 37.5 s
+
+    Short runs leave the single fused execution poorly packed (the
+    actor pool holds nearly all slots while the exchange's task ops
+    need them); once the link phase dominates, fused's removal of the
+    write→teardown→re-read boundary wins.  24k/cpu sits between the
+    measured 16.4k (disk side) and 32.8k (fused side) points.
+
+    Estimation reads ONE parquet footer (shards are uniform — this
+    pipeline wrote them); non-local or unreadable paths fall back to
+    disk, the conservative resume-friendly choice.  Outputs are
+    byte-identical across modes (test_checkpoint_modes_equal_outputs),
+    so the dispatch never changes results.
+    """
+    try:
+        files = [os.path.join(r, f) for r, _, fs in os.walk(pages_path)
+                 for f in fs if f.endswith(".parquet")]
+        if os.path.isfile(pages_path):
+            files = [pages_path]
+        if not files:
+            return "disk"
+        est_pages = len(files) * pq.ParquetFile(files[0]).metadata.num_rows
+    except OSError:
+        return "disk"
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return "fused" if est_pages / max(cpus, 1) >= pages_per_cpu_threshold \
+        else "disk"
+
+
 def run_kg(pages_path: str, out_dir: str, *, num_buckets: int | None = None,
            link_concurrency=None, seed: int = 42,
            partition_edges_by_predicate: bool = False,
@@ -224,7 +378,7 @@ def run_kg(pages_path: str, out_dir: str, *, num_buckets: int | None = None,
     comment below for the measured "fused"/"mem" A/B variants.
     """
     alias_ref = broadcast_alias_map(seed)
-    pages = read_parquet_fast(pages_path)
+    pages = read_pages_scaled(pages_path)
     triples = linked_triples(pages, alias_ref, link_concurrency)
     if attestations_path is not None:
         # signed-attestation slice (identity propagation,
@@ -240,38 +394,47 @@ def run_kg(pages_path: str, out_dir: str, *, num_buckets: int | None = None,
             read_binary_docs(attestations_path), public_keys or {}))
         triples = triples.union(att)
     tri_dir = os.path.join(out_dir, "triples")
-    # checkpoint mode (env GUACRAY_CHECKPOINT overrides):
-    #   "disk" (default) — write the durable checkpoint, then re-read it
-    #            for the exchange in a second execution.  Wins BOTH the
-    #            saturated headline and the 8→32 scaling ratio in the
-    #            round-3 interleaved A/B (262k pages: 14.7s vs fused
-    #            17.0s at 32 CPUs; eff 0.64 vs 0.47 in the same noisy
-    #            window) and is the resume boundary at 100 TB.
+    # checkpoint mode (explicit arg > env GUACRAY_CHECKPOINT > the
+    # size-aware _auto_checkpoint_mode dispatch above):
+    #   "disk" — write the durable checkpoint, then re-read it for the
+    #            exchange in a second execution.  Wins short runs
+    #            (auto picks it under ~24k pages/cpu) and is the
+    #            resume boundary at 100 TB.
     #   "fused" — ONE streaming execution: each triples block is
     #            persisted to the checkpoint as a side effect of the
     #            same map task that feeds the canonicalize exchange
     #            (``_fused_checkpoint_writer``; same durable artifact,
-    #            promoted atomically after the exchange materializes).
-    #            Removes the write→teardown→re-read serial constant:
-    #            measured 31.8s vs disk's 37.7s at 8 CPUs (IO-bound
-    #            regime) and ~equal at 1M pages / 32 CPUs — but the
-    #            in-task write stalls the exchange's critical path at
-    #            high parallelism, so it is NOT the default.
+    #            promoted atomically after the exchange materializes
+    #            AND the flush barrier confirms every background write
+    #            landed).  The parquet write runs on a per-worker
+    #            thread (round 4), so unlike the round-3 sync variant
+    #            it no longer stalls the exchange's critical path at
+    #            high parallelism.
+    #   "fused-sync" — round-3 fused: write inline in the map task.
+    #            Measured 31.8s vs disk's 37.7s at 8 CPUs (IO-bound
+    #            regime) and ~equal at 1M pages / 32 CPUs; kept for
+    #            deployments that must not lose a block to a worker
+    #            crash in the post-task flush window (the async barrier
+    #            fails loudly, but cannot recover the block).
     #   "mem"  — pin the FULL triples in the object store so the
     #            exchange skips the disk re-read.  Measured 2.5× WORSE
     #            than disk at 1M pages (object-store pressure) — only
     #            sensible at interactive scales.
-    mode = checkpoint_mode or os.environ.get("GUACRAY_CHECKPOINT", "disk")
+    mode = checkpoint_mode or os.environ.get("GUACRAY_CHECKPOINT") \
+        or _auto_checkpoint_mode(pages_path)
     from ..stages.canonicalize import CANON_COLS, graph_tables
-    fused_tmp = None
+    fused_tmp = flush_registry = None
     if mode == "mem":
         tri = triples.materialize()
         write_table(tri, tri_dir, schemas.TRIPLES, min_rows_per_file=200_000)
-    elif mode == "fused":
+    elif mode in ("fused", "fused-sync"):
         import shutil
         fused_tmp = tri_dir.rstrip("/") + ".__tmp__"
         shutil.rmtree(fused_tmp, ignore_errors=True)
         os.makedirs(fused_tmp, exist_ok=True)
+        if mode == "fused":
+            flush_registry = ray.remote(num_cpus=0)(
+                _CkptFlushRegistry).remote()
         # batch_size=200k: the writer coalesces the linker's many small
         # output blocks into compacted checkpoint files (same 200k-row
         # target as disk mode's min_rows_per_file) AND hands the
@@ -279,9 +442,9 @@ def run_kg(pages_path: str, out_dir: str, *, num_buckets: int | None = None,
         # blocks collapses almost nothing and the exchange would
         # shuffle ~the full triple volume (first fused A/B measured
         # 25% SLOWER than disk for exactly this reason)
-        tri = triples.map_batches(_fused_checkpoint_writer(fused_tmp),
-                                  batch_format="pyarrow",
-                                  batch_size=200_000)
+        tri = triples.map_batches(
+            _fused_checkpoint_writer(fused_tmp, flush_registry),
+            batch_format="pyarrow", batch_size=200_000)
     else:
         write_table(triples, tri_dir, schemas.TRIPLES,
                     min_rows_per_file=200_000)
@@ -293,6 +456,9 @@ def run_kg(pages_path: str, out_dir: str, *, num_buckets: int | None = None,
         # graph_tables materialized the exchange, so every upstream
         # block (and its side-effect checkpoint file) is complete —
         # promote the tmp dir atomically, exactly like write_table
+        if flush_registry is not None:
+            _await_ckpt_flush(flush_registry)
+            ray.kill(flush_registry)
         if not any(f.endswith(".parquet") for f in os.listdir(fused_tmp)):
             pq.write_table(schemas.TRIPLES.empty_table(),
                            os.path.join(fused_tmp, "empty.parquet"))

@@ -181,12 +181,14 @@ def test_pr_gate_at_larger_corpus():
 
 def test_checkpoint_modes_equal_outputs(small_pages_path, tmp_path):
     from guacray.pipelines.kg import run_kg
-    dirs = {m: str(tmp_path / m) for m in ("disk", "mem", "fused")}
+    dirs = {m: str(tmp_path / m)
+            for m in ("disk", "mem", "fused", "fused-sync")}
     counts = {m: run_kg(small_pages_path, d, checkpoint_mode=m)
               for m, d in dirs.items()}
-    assert counts["disk"] == counts["mem"] == counts["fused"]
+    assert (counts["disk"] == counts["mem"] == counts["fused"]
+            == counts["fused-sync"])
     a = dirs["disk"]
-    for b in (dirs["mem"], dirs["fused"]):
+    for b in (dirs["mem"], dirs["fused"], dirs["fused-sync"]):
         for t, key in (("nodes", "node_id"), ("edges", "edge_id"),
                        ("triples", "edge_id")):
             x = rd.read_parquet(f"{a}/{t}").to_pandas() \
@@ -225,3 +227,13 @@ def test_fused_checkpoint_empty_input(tmp_path):
     counts = run_kg(pages, out, checkpoint_mode="fused")
     assert counts == {"triples": 0, "nodes": 0, "edges": 0, "evidence": 0}
     assert pq.read_table(f"{out}/triples").schema.equals(schemas.TRIPLES)
+
+
+def test_auto_checkpoint_mode_dispatch(small_pages_path):
+    """Size-aware mode dispatch: tiny inputs stay on disk mode; the
+    threshold is per-CPU so forcing it to 1 flips to fused."""
+    from guacray.pipelines.kg import _auto_checkpoint_mode
+    assert _auto_checkpoint_mode(small_pages_path) == "disk"
+    assert _auto_checkpoint_mode(
+        small_pages_path, pages_per_cpu_threshold=1) == "fused"
+    assert _auto_checkpoint_mode("/nonexistent/path") == "disk"
