@@ -84,6 +84,18 @@ PREDICATE_PATTERNS: list[tuple[str, re.Pattern[str]]] = [
 
 PREDICATES = list(dict.fromkeys(p for p, _ in PREDICATE_PATTERNS))
 
+
+def _verb_needle(pattern: re.Pattern[str]) -> str:
+    """The literal verb phrase between the two capture groups — derived
+    from the pattern source so a new/edited pattern can never drift
+    from its pre-filter needle."""
+    src = pattern.pattern
+    return src[len("^(?P<s>.+?)"):-len("(?P<o>.+?)$")]
+
+
+_PATTERNS_WITH_NEEDLES = [(p, pat, _verb_needle(pat))
+                          for p, pat in PREDICATE_PATTERNS]
+
 # Undirected ("equal") predicates — the HashEqual/PkgEqual semantics of
 # the reference, where the edge is stored once regardless of statement
 # orientation (/root/reference/pkg/assembler/assembler.go:84).
@@ -201,7 +213,13 @@ def extract_raw_triples(text: str) -> list[tuple[str, str, str, str]]:
     out: list[tuple[str, str, str, str]] = []
     for sent in sentences(text):
         stripped = sent.rstrip(".!?").strip()
-        for pred, pat in PREDICATE_PATTERNS:
+        for pred, pat, needle in _PATTERNS_WITH_NEEDLES:
+            # the verb literal is a NECESSARY condition for the regex —
+            # a C-speed substring test skips the lazy-quantifier match
+            # attempt on the ~8 non-matching patterns per sentence
+            # (semantics identical; measured ~2× on extraction UDF)
+            if needle not in stripped:
+                continue
             m = pat.match(stripped)
             if m:
                 subj = m.group("s").strip()
