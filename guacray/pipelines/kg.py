@@ -317,45 +317,41 @@ def evidence_view(out_dir: str):
                            columns=EVIDENCE_COLS)
 
 
-def _auto_checkpoint_mode(pages_path: str,
-                          pages_per_cpu_threshold: int = 24_000) -> str:
-    """Pick disk vs fused checkpointing from estimated work per CPU.
+def _auto_checkpoint_mode(pages_path: str, cpu_threshold: int = 8) -> str:
+    """Pick disk vs fused checkpointing from cluster width.
 
     Round-4 interleaved A/Bs (v3 fixtures, run_kg, min-of-2 per fresh
-    process) put the crossover between the two modes on a single
-    pages-per-CPU axis:
+    process, AFTER the substring-gated extraction landed) separate the
+    modes purely by CPU count — input size does not flip a single
+    cell:
 
-        262k @ 32 CPUs ( 8.2k/cpu): disk 12.4 s  vs fused 16.1 s
-        524k @ 32 CPUs (16.4k/cpu): disk 20.0 s  vs fused 27.2 s (v2)
-        262k @  8 CPUs (32.8k/cpu): disk 35.2 s  vs fused 31.3 s
-        1M   @ 32 CPUs (32.8k/cpu): disk 18.1 s  vs fused 15.9 s
-        1M   @  8 CPUs ( 131k/cpu): disk 44.8 s  vs fused 37.5 s
+        262k @  8 CPUs: fused 27.3 s  vs disk 35.8 s
+        1M   @  8 CPUs: fused 30.9 s  vs disk 39.6 s
+        262k @ 16 CPUs: disk  20.1 s  vs fused 27.6 s
+        262k @ 32 CPUs: disk  13.0 s  vs fused 16.8 s
+        1M   @ 32 CPUs: disk  15.2 s  vs fused 17.0 s
 
-    Short runs leave the single fused execution poorly packed (the
-    actor pool holds nearly all slots while the exchange's task ops
-    need them); once the link phase dominates, fused's removal of the
-    write→teardown→re-read boundary wins.  24k/cpu sits between the
-    measured 16.4k (disk side) and 32.8k (fused side) points.
+    Narrow deployments are compute-bound: fused's removal of the
+    write→teardown→re-read boundary plus the writer-thread overlap
+    wins.  At width, the single fused execution packs poorly — the
+    actor pool holds nearly every slot while the exchange's task ops
+    need them — and the two-execution disk pipeline wins despite the
+    boundary.  (Before the extraction pre-filter the heavier UDF hid
+    the packing cost and fused also won 1M @ 32; the dispatch was
+    re-derived after that change — re-measure if the link kernel's
+    cost profile shifts again.)
 
-    Estimation reads ONE parquet footer (shards are uniform — this
-    pipeline wrote them); non-local or unreadable paths fall back to
-    disk, the conservative resume-friendly choice.  Outputs are
-    byte-identical across modes (test_checkpoint_modes_equal_outputs),
-    so the dispatch never changes results.
+    ``pages_path`` is unused today (the crossover proved
+    size-independent in the measured range) but stays in the signature
+    so a future size-sensitive rule doesn't ripple through callers.
+    Outputs are byte-identical across modes
+    (test_checkpoint_modes_equal_outputs), so the dispatch never
+    changes results; disk remains the wide/default choice and the
+    resume boundary at 100 TB.
     """
-    try:
-        files = [os.path.join(r, f) for r, _, fs in os.walk(pages_path)
-                 for f in fs if f.endswith(".parquet")]
-        if os.path.isfile(pages_path):
-            files = [pages_path]
-        if not files:
-            return "disk"
-        est_pages = len(files) * pq.ParquetFile(files[0]).metadata.num_rows
-    except OSError:
-        return "disk"
+    del pages_path
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    return "fused" if est_pages / max(cpus, 1) >= pages_per_cpu_threshold \
-        else "disk"
+    return "fused" if cpus <= cpu_threshold else "disk"
 
 
 def run_kg(pages_path: str, out_dir: str, *, num_buckets: int | None = None,
@@ -397,9 +393,9 @@ def run_kg(pages_path: str, out_dir: str, *, num_buckets: int | None = None,
     # checkpoint mode (explicit arg > env GUACRAY_CHECKPOINT > the
     # size-aware _auto_checkpoint_mode dispatch above):
     #   "disk" — write the durable checkpoint, then re-read it for the
-    #            exchange in a second execution.  Wins short runs
-    #            (auto picks it under ~24k pages/cpu) and is the
-    #            resume boundary at 100 TB.
+    #            exchange in a second execution.  Wins wide clusters
+    #            (auto picks it above 8 CPUs) and is the resume
+    #            boundary at 100 TB.
     #   "fused" — ONE streaming execution: each triples block is
     #            persisted to the checkpoint as a side effect of the
     #            same map task that feeds the canonicalize exchange

@@ -230,10 +230,10 @@ def test_fused_checkpoint_empty_input(tmp_path):
 
 
 def test_auto_checkpoint_mode_dispatch(small_pages_path):
-    """Size-aware mode dispatch: tiny inputs stay on disk mode; the
-    threshold is per-CPU so forcing it to 1 flips to fused."""
+    """Width-aware mode dispatch: narrow clusters (≤ threshold CPUs)
+    run fused, wide ones disk.  The test session runs 4 CPUs."""
     from guacray.pipelines.kg import _auto_checkpoint_mode
-    assert _auto_checkpoint_mode(small_pages_path) == "disk"
-    assert _auto_checkpoint_mode(
-        small_pages_path, pages_per_cpu_threshold=1) == "fused"
-    assert _auto_checkpoint_mode("/nonexistent/path") == "disk"
+    assert _auto_checkpoint_mode(small_pages_path) == "fused"
+    assert _auto_checkpoint_mode(small_pages_path, cpu_threshold=2) == "disk"
+    # path is irrelevant to the width rule (kept for future rules)
+    assert _auto_checkpoint_mode("/nonexistent/path") == "fused"
