@@ -103,27 +103,59 @@ def read_parquet_fast(path_or_paths, **kwargs):
         ctx.decoding_size_estimation = old
 
 
-def read_pages_scaled(pages_path: str, tasks_per_actor: int = 12):
-    """Pages read with task granularity sized to the linker pool.
+def _estimate_pages(pages_path: str) -> tuple[int, int]:
+    """Cheap (n_files, row estimate): shard count × rows in ONE footer
+    (this pipeline writes uniform shards).  (0, 0) = unknown
+    (non-local path)."""
+    try:
+        files = [os.path.join(r, f) for r, _, fs in os.walk(pages_path)
+                 for f in fs if f.endswith(".parquet")]
+        if os.path.isfile(pages_path):
+            files = [pages_path]
+        if not files:
+            return 0, 0
+        return len(files), len(files) * pq.ParquetFile(
+            files[0]).metadata.num_rows
+    except OSError:
+        return 0, 0
 
-    The linker's task unit is one input block; with N large shards on a
-    wide pool, mtif-deep eager binding quantizes the tail (some actors
-    queue 2× the tasks of others).  Splitting the read to ~12 tasks per
-    actor fixed that at 32 CPUs (1M pages: 23.1→19.0 s interleaved)
-    but HURT at 8 CPUs (54.9→70.7 s — per-task overhead dominates when
-    the pool is narrow), so the override only applies when the target
-    exceeds the shard count, which a narrow pool never reaches.
+
+def bulk_ingest_knobs(pages_path: str, heavy_pages_per_cpu: int = 16_000,
+                      tasks_per_actor: int = 12):
+    """(pages Dataset, link_concurrency) tuned to the input size.
+
+    Two knobs flip together on the same pages-per-CPU axis (round-4
+    interleaved matrix at 32 CPUs, disk mode):
+
+    - HEAVY (≥ ~16k pages/cpu — the 1M fixture): pool floor 3·cpus/4
+      (the cpus/2 floor never ramps past ~16 actors; link phase
+      19.2→14.4 s) and the read split to ~12 tasks per actor (finer
+      tail; 23.1→19.0 s) — together ~17 → ~15.5 s e2e.
+    - LIGHT (the 262k protocol fixture, 8.2k/cpu): both knobs OFF —
+      the extra spawn+ramp and per-task overhead cost 1.5-2 s against
+      a ~7 s link phase (matrix best 10.7 s with r3 knobs vs 13.0
+      with the heavy ones).
+
+    At 8 CPUs the dispatch is inert either way: the floor formulas
+    coincide (6 actors) and 12×6=72 tasks never exceeds the shard
+    count.  Unknown sizes (non-local paths) stay LIGHT — the safe
+    interactive default.
     """
     from ..stages.link import default_pool_size
-    target = tasks_per_actor * default_pool_size()[1]
-    try:
-        n_files = sum(1 for _, _, fs in os.walk(pages_path)
-                      for f in fs if f.endswith(".parquet"))
-    except OSError:
-        n_files = 0  # non-local path: leave block sizing to the planner
-    if n_files and target > n_files:
-        return read_parquet_fast(pages_path, override_num_blocks=target)
-    return read_parquet_fast(pages_path)
+    n_files, est = _estimate_pages(pages_path)
+    # read_parquet auto-inits Ray later; don't force that here just for
+    # a CPU count when called before init (tests, planning helpers)
+    cpus = int(ray.cluster_resources().get("CPU", 4)) \
+        if ray.is_initialized() else (os.cpu_count() or 4)
+    if not est or est / max(cpus, 1) < heavy_pages_per_cpu:
+        return read_parquet_fast(pages_path), None
+    lo, hi = default_pool_size()
+    lc = (max(lo, min(3 * cpus // 4, hi)), hi)
+    target = tasks_per_actor * hi
+    if target > n_files:
+        return read_parquet_fast(
+            pages_path, override_num_blocks=target), lc
+    return read_parquet_fast(pages_path), lc
 
 
 class _CkptFlushRegistry:
@@ -374,8 +406,9 @@ def run_kg(pages_path: str, out_dir: str, *, num_buckets: int | None = None,
     comment below for the measured "fused"/"mem" A/B variants.
     """
     alias_ref = broadcast_alias_map(seed)
-    pages = read_pages_scaled(pages_path)
-    triples = linked_triples(pages, alias_ref, link_concurrency)
+    pages, auto_lc = bulk_ingest_knobs(pages_path)
+    triples = linked_triples(pages, alias_ref,
+                             link_concurrency or auto_lc)
     if attestations_path is not None:
         # signed-attestation slice (identity propagation,
         # parser/common/types.go:25-41): verified DSSE envelopes emit

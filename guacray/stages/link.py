@@ -245,23 +245,24 @@ def alias_dataset(seed: int = 42):
 def default_pool_size() -> tuple[int, int]:
     """Autoscaling actor-pool bounds sized to the cluster.
 
-    (3·cpus/4, cpus-2): max leaves 2 CPUs of headroom so downstream
+    (cpus/2, cpus-2): min = half the cluster (a min of 1 leaves most
+    CPUs idle during ramp), max leaves 2 CPUs of headroom so downstream
     task operators always make progress (a pool == cluster size
-    deadlocks the streaming executor — round-1 measurement); min = ¾
-    of the cluster after the round-4 saturated study: with min=cpus/2
-    the pool never ramped past ~16 actors at 32 CPUs (tasks bind
-    mtif-deep to existing actors before the autoscaler sees demand,
-    ~46% operator idle in ds.stats), and raising the floor cut the 1M-
-    page link phase 19.2→14.4 s at 32 CPUs and 49.7→40.8 s at 8, while
-    staying neutral (13.3 vs 13.5 s) on the 262k protocol fixture.
-    Actor spawn is cheap (30 actors ready in ~1.1 s, measured), so the
-    round-3 "fixed pool stalls ~5 s" result did not reproduce; keeping
-    max autoscaled preserves the deadlock guard head-room.
+    deadlocks the streaming executor — round-1 measurement).
+
+    The round-4 saturated study found a HIGHER floor (3·cpus/4) wins
+    on big inputs — with min=cpus/2 the pool never ramped past ~16
+    actors at 32 CPUs (tasks bind mtif-deep to existing actors before
+    the autoscaler sees demand, ~46% operator idle in ds.stats; 1M-
+    page link phase 19.2→14.4 s) — but COSTS ~1.5-2 s on the 262k
+    protocol fixture (extra spawn+ramp against a ~7 s link phase).
+    The floor is therefore size-dispatched by the caller that knows
+    the input size (``kg.bulk_ingest_knobs``); this default stays the
+    small/interactive-safe choice.
     """
     import ray
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    hi = max(2, cpus - 2)
-    return (max(1, min(3 * cpus // 4, hi)), hi)
+    return (max(1, cpus // 2), max(2, cpus - 2))
 
 
 def link(ds, alias_ref=None, concurrency=None, batch_size: int = 512):
