@@ -237,3 +237,35 @@ def test_auto_checkpoint_mode_dispatch(small_pages_path):
     assert _auto_checkpoint_mode(small_pages_path, cpu_threshold=2) == "disk"
     # path is irrelevant to the width rule (kept for future rules)
     assert _auto_checkpoint_mode("/nonexistent/path") == "fused"
+
+
+def test_ckpt_flush_barrier_paths():
+    """The fused flush barrier's three outcomes: clean drain, surfaced
+    write error, and timeout on a write that never lands."""
+    import ray
+    import pytest
+    from guacray.pipelines.kg import _CkptFlushRegistry, _await_ckpt_flush
+
+    reg = ray.remote(num_cpus=0)(_CkptFlushRegistry).remote()
+    ray.get(reg.expect.remote("blk-a"))
+    ray.get(reg.mark_done.remote("blk-a"))
+    _await_ckpt_flush(reg, timeout_s=5)  # drains clean
+
+    ray.get(reg.expect.remote("blk-b"))
+    with pytest.raises(IOError, match="missing.*blk-b"):
+        _await_ckpt_flush(reg, timeout_s=0.3)  # never lands → timeout
+
+    ray.get(reg.mark_done.remote("blk-b", "disk full"))
+    with pytest.raises(IOError, match="disk full"):
+        _await_ckpt_flush(reg, timeout_s=5)  # error surfaces
+    ray.kill(reg)
+
+
+def test_bulk_ingest_knobs_dispatch(small_pages_path):
+    """Light inputs keep the interactive defaults; the heavy path
+    raises the pool floor (threshold forced to 0 to flip it)."""
+    from guacray.pipelines.kg import bulk_ingest_knobs
+    _, lc = bulk_ingest_knobs(small_pages_path)
+    assert lc is None
+    _, lc = bulk_ingest_knobs(small_pages_path, heavy_pages_per_cpu=0)
+    assert lc is not None and lc[0] >= lc[1] // 2 and lc[1] >= lc[0]
