@@ -50,3 +50,60 @@ def test_no_duplicate_query_names():
     mod = _entry_module()
     q = mod.queries()
     assert len(q) == len(set(q)), "duplicate keys collapse silently in dicts"
+
+
+def test_window_section_is_exactly_fifty():
+    """Round-4 ADVICE: the window section held 49 entries while the
+    comment claimed 50, silently gating an unintended query.  queries()
+    now asserts the intended-window dict length itself; this pins the
+    module constant to the observed driver behavior."""
+    mod = _entry_module()
+    assert mod.DRIVER_WINDOW == DRIVER_WINDOW
+    assert len(mod.queries()) >= DRIVER_WINDOW
+
+
+def test_llm_extension_family_inside_driver_window():
+    """Round-5: the near-dup / curation / ANN / multimodal family must
+    stay driver-visible (round-4 VERDICT top_next item)."""
+    names = list(_entry_module().queries())
+    window = set(names[:DRIVER_WINDOW])
+    family = ["doc_minhash_pairs", "doc_simhash_pairs", "doc_lang_id",
+              "doc_curation_report", "ann_lsh_topk", "ann_ivf_topk",
+              "media_features"]
+    outside = [n for n in family if n not in window]
+    assert not outside, f"LLM-extension rows fell out of the window: {outside}"
+
+
+def test_displaced_oracle_parity():
+    sf_dir_small = "/root/testdata/sf0.001"
+    """Every SQL-checked query that sits PAST the driver window must
+    keep oracle parity here (round-4 ADVICE: displacing a row from the
+    gate must not make its regressions invisible).  Runs the same
+    row-count/schema/value-hash check the driver applies, at sf0.001."""
+    import duckdb
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    from check_queries import TABLES, norm, to_pandas, value_hash
+    from guacray.pipelines.relational import SQL
+
+    mod = _entry_module()
+    q = mod.queries()
+    names = list(q)
+    displaced = [n for n in names[DRIVER_WINDOW:] if n in SQL]
+    assert displaced, "expected displaced SQL-checked queries to exist"
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir_small}/{t}.parquet')")
+    failures = []
+    for name in displaced:
+        got = norm(to_pandas(q[name](sf_dir_small)))
+        exp = norm(con.execute(SQL[name]).df())
+        if list(got.columns) != list(exp.columns):
+            failures.append(f"{name}: schema {list(got.columns)} != "
+                            f"{list(exp.columns)}")
+        elif len(got) != len(exp):
+            failures.append(f"{name}: rows {len(got)} != {len(exp)}")
+        elif value_hash(got) != value_hash(exp):
+            failures.append(f"{name}: value-hash mismatch")
+    assert not failures, "\n".join(failures)
