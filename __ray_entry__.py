@@ -197,17 +197,20 @@ def _kg_class_reachable(sf_dir: str):
 
 
 def _kg_toposort(sf_dir: str):
-    """Deterministic topological order (Kahn with sorted queue) over
-    the BFS-layered DAG from the first org node (rows-only: a topo
-    order is graph-relative, not SQL-value-derivable; determinism and
-    validity are pytest-checked in test_query)."""
+    """Kahn peel levels over the BFS-layered DAG from the first org
+    node — the reference's actual return shape (map of level ->
+    nodeIDs, guacanalytics/toposort.go:26-61).  SQL-checked: the peel
+    level equals longest-path-from-roots in the depth-increasing DAG,
+    which a recursive CTE derives with MAX(lvl) per node (the flat
+    Kahn order stays pytest-checked for determinism/validity)."""
     import pyarrow as pa
     store = _kg_store(sf_dir)
     seed = store.nodes(node_type="org").to_pandas()["node_id"].min()
-    order = store.toposort(seed, direction="out", max_depth=10)
+    levels = store.toposort_levels(seed, direction="out", max_depth=10)
+    ids = sorted(levels)
     return pa.table({
-        "pos": pa.array(range(len(order)), type=pa.int64()),
-        "node_id": pa.array(order, type=pa.string()),
+        "node_id": pa.array(ids, type=pa.string()),
+        "level": pa.array([levels[i] for i in ids], type=pa.int64()),
     })
 
 
@@ -429,6 +432,40 @@ def _kg_oracles() -> dict[str, str]:
             SELECT node_id, CAST(MIN(depth) AS BIGINT) AS depth
             FROM walk GROUP BY node_id
         """,
+        # Kahn peel level == longest path from the roots of the
+        # depth-increasing DAG (edges restricted to depth(subj) <
+        # depth(obj) over the BFS closure).  Seeding EVERY reachable
+        # node at lvl 0 and taking MAX(lvl) yields the longest path
+        # ending at each node, which in a DAG always extends back to a
+        # root — exactly the peel round of toposort.go:26-61.  Paths
+        # strictly increase BFS depth, so recursion is bounded by the
+        # BFS max_depth (10).
+        "kg_toposort": f"""
+            WITH RECURSIVE walk(node_id, depth) AS (
+                SELECT (SELECT MIN(node_id) FROM read_parquet('{nod}')
+                        WHERE node_type = 'org'), 0
+                UNION
+                SELECT e.obj_id, w.depth + 1
+                FROM walk w
+                JOIN read_parquet('{edg}') e ON e.subj_id = w.node_id
+                WHERE w.depth < 10
+            ), bfs AS (
+                SELECT node_id, MIN(depth) AS depth
+                FROM walk GROUP BY node_id
+            ), dag AS (
+                SELECT e.subj_id, e.obj_id
+                FROM read_parquet('{edg}') e
+                JOIN bfs s ON s.node_id = e.subj_id
+                JOIN bfs o ON o.node_id = e.obj_id
+                WHERE s.depth < o.depth
+            ), lp(node_id, lvl) AS (
+                SELECT node_id, 0 FROM bfs
+                UNION
+                SELECT d.obj_id, l.lvl + 1
+                FROM lp l JOIN dag d ON d.subj_id = l.node_id)
+            SELECT node_id, CAST(MAX(lvl) AS BIGINT) AS level
+            FROM lp GROUP BY node_id
+        """,
         "kg_affected_versions": _kg_affected_versions_sql(),
     }
 
@@ -545,7 +582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # membership + exact size are pinned by the asserts below and by
     # tests/test_entry.py.
     window: dict[str, Callable[[str], Any]] = {
-        # flagship KG pipeline (16 SQL-checked + triples/toposort rows-only)
+        # flagship KG pipeline (17 SQL-checked + triples rows-only)
         "kg_triples": lambda sf: _kg_read(sf, "triples"),
         "kg_nodes": lambda sf: _kg_read(sf, "nodes"),
         "kg_edges": lambda sf: _kg_read(sf, "edges"),

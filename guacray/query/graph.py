@@ -517,6 +517,41 @@ class GraphStore:
                     q.append(m)
         return out
 
+    def toposort_levels(self, start_id: str, *, direction: str = "out",
+                        max_depth: int = 10) -> dict[str, int]:
+        """Kahn peel levels over the same BFS-layered DAG: node ->
+        round in which it became zero-indegree.  This is the
+        reference's actual return shape (map of level -> nodeIDs,
+        /root/reference/pkg/guacanalytics/toposort.go:26-61) and equals
+        longest-path-from-roots in the DAG, so it is SQL-derivable
+        (recursive CTE, MAX(lvl) per node) — unlike the flat order,
+        which is iterative-choice-dependent."""
+        depth = self.reachable(start_id, direction=direction,
+                               max_depth=max_depth)
+        nodes = set(depth)
+        edges = self._frontier_expand(nodes, None, "out")
+        adj: dict[str, list[str]] = {n: [] for n in nodes}
+        indeg = {n: 0 for n in nodes}
+        for s, o in zip(edges["subj_id"].to_pylist(),
+                        edges["obj_id"].to_pylist()):
+            if s in nodes and o in nodes and depth[s] < depth[o]:
+                adj[s].append(o)
+                indeg[o] += 1
+        level = {n: 0 for n in nodes if indeg[n] == 0}
+        frontier = list(level)
+        lvl = 0
+        while frontier:
+            lvl += 1
+            nxt: list[str] = []
+            for n in frontier:
+                for m in adj[n]:
+                    indeg[m] -= 1
+                    if indeg[m] == 0:
+                        level[m] = lvl
+                        nxt.append(m)
+            frontier = nxt
+        return level
+
     # ------------------------------------------------------- analytics
 
     def top_dependents(self, k: int = 10,

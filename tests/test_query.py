@@ -94,6 +94,32 @@ def test_toposort_runs(store):
     assert set(order) <= reach
 
 
+def test_toposort_levels_contract(store):
+    levels = store.toposort_levels(ACME, direction="out", max_depth=3)
+    order = store.toposort(ACME, direction="out", max_depth=3)
+    # same node set as the flat Kahn order, roots at 0
+    assert set(levels) == set(order)
+    assert min(levels.values()) == 0
+    # every depth-increasing edge must strictly increase the level
+    # (the topological-layering contract the SQL oracle re-derives)
+    depth = store.reachable(ACME, direction="out", max_depth=3)
+    edges = store._frontier_expand(set(depth), None, "out")
+    for s, o in zip(edges["subj_id"].to_pylist(),
+                    edges["obj_id"].to_pylist()):
+        if s in levels and o in levels and depth[s] < depth[o]:
+            assert levels[o] > levels[s]
+    # level == longest path from roots: some parent sits exactly one
+    # level below every non-root node
+    parents: dict[str, list[int]] = {}
+    for s, o in zip(edges["subj_id"].to_pylist(),
+                    edges["obj_id"].to_pylist()):
+        if s in levels and o in levels and depth[s] < depth[o]:
+            parents.setdefault(o, []).append(levels[s])
+    for n, lvl in levels.items():
+        if lvl > 0:
+            assert max(parents[n]) == lvl - 1
+
+
 def test_evidence_drilldown(store, small_pages):
     _, ref_edges = reference_graph(small_pages)
     e = max(ref_edges, key=lambda x: x["n_evidence"])
