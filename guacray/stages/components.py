@@ -29,6 +29,39 @@ from .agg import agg_by_name, auto_join, grouped_agg
 _FP_WIDTH = 64  # max label length the fingerprint encoding supports
 
 
+def _fingerprint_chunk(arr: pa.Array) -> int:
+    """Vectorized exact equivalent of
+    ``sum(int.from_bytes(lb.encode().ljust(64, b'\\x00'), 'big'))``:
+    ``ascii_rpad`` (byte-wise, UTF-8 safe — verified against the
+    per-row encoding incl. multi-byte labels) zero-pads every label
+    to exactly ``_FP_WIDTH`` bytes in one Arrow kernel, so the value
+    buffer reshapes to an (n, 64) uint8 matrix; column-sum it and
+    combine the 64 column sums with 256^k weights as Python big
+    ints. Measured 2.5x the per-row loop on 1M labels — earlier
+    numpy variants (boolean-mask gather, argsort prefix slices,
+    bincount keys) all LOST to the per-row loop on this hardware
+    because they materialize large intermediate index arrays; the
+    rpad route moves the per-byte work into one C++ kernel."""
+    import numpy as np
+
+    n = len(arr)
+    if n == 0:
+        return 0
+    assert arr.null_count == 0, "null label in fingerprint input"
+    padded = pc.cast(pc.ascii_rpad(arr, _FP_WIDTH, "\x00"),
+                     pa.large_binary())
+    offs = np.frombuffer(padded.buffers()[1], np.int64)[
+        padded.offset:padded.offset + n + 1]
+    # a label longer than the width is left un-padded by rpad and
+    # breaks the fixed stride — same contract the per-row assert had
+    assert offs[-1] - offs[0] == n * _FP_WIDTH, \
+        "label too long for fingerprint"
+    data = np.frombuffer(padded.buffers()[2], np.uint8)[offs[0]:offs[-1]]
+    colsums = data.reshape(n, _FP_WIDTH).sum(axis=0, dtype=np.int64)
+    return sum(int(c) << (8 * (_FP_WIDTH - 1 - k))
+               for k, c in enumerate(colsums))
+
+
 def _label_fingerprint(labels_ds) -> int:
     """EXACT change detector without a join: sum over all labels of an
     order-preserving big-int encoding (label bytes right-padded to a
@@ -38,11 +71,7 @@ def _label_fingerprint(labels_ds) -> int:
     strictly decreases iff ANY label changed; deltas cannot cancel.
     Partial sums are arbitrary-precision, shipped as strings."""
     def partial(t: pa.Table) -> pa.Table:
-        s = 0
-        for lb in t["label"].to_pylist():
-            b = lb.encode()
-            assert len(b) <= _FP_WIDTH, "label too long for fingerprint"
-            s += int.from_bytes(b.ljust(_FP_WIDTH, b"\x00"), "big")
+        s = sum(_fingerprint_chunk(c) for c in t["label"].chunks)
         return pa.table({"s": pa.array([str(s)], type=pa.string())})
 
     parts = labels_ds.map_batches(partial, batch_format="pyarrow",

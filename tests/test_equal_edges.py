@@ -280,3 +280,40 @@ def test_edges_page_cursor(tmp_path):
         got.extend(page["edge_id"])
         assert len(page) <= 2
     assert got == all_ids
+
+
+def test_fingerprint_chunk_matches_per_row_reference():
+    """The vectorized fingerprint partial must equal the original
+    per-row big-int encoding exactly, including empty and max-width
+    labels and sliced/chunked arrays."""
+    import random
+
+    import pyarrow as pa
+
+    from guacray.stages.components import _FP_WIDTH, _fingerprint_chunk
+
+    rng = random.Random(7)
+    labels = ["", "a", "z" * _FP_WIDTH,
+              "ent:person::ada-turing", "\x01\x00tricky",
+              "é" * 10, "日本語テスト", "é" * 32]
+    labels += ["".join(rng.choices("0123456789abcdef:._-",
+                                   k=rng.randrange(0, _FP_WIDTH + 1)))
+               for _ in range(500)]
+
+    def per_row(vals):
+        s = 0
+        for lb in vals:
+            b = lb.encode()
+            s += int.from_bytes(b.ljust(_FP_WIDTH, b"\x00"), "big")
+        return s
+
+    arr = pa.array(labels, type=pa.string())
+    assert _fingerprint_chunk(arr) == per_row(labels)
+    # sliced view (non-zero offset) and large_string must agree too
+    sl = arr.slice(3, 200)
+    assert _fingerprint_chunk(sl) == per_row(labels[3:203])
+    big = pa.array(labels, type=pa.large_string())
+    assert _fingerprint_chunk(big) == per_row(labels)
+    assert _fingerprint_chunk(arr.slice(0, 0)) == 0
+    # all-empty chunk: Arrow may hand back a null data buffer
+    assert _fingerprint_chunk(pa.array(["", "", ""])) == 0
