@@ -61,8 +61,20 @@ def bucket_of_hexid(ids, num_buckets: int):
     arr = np.asarray(ids, dtype="S8")  # first 8 hex chars, ascii
     if arr.size == 0:
         return pa.array([], type=pa.int32())
-    nib = _HEX_LUT[np.ascontiguousarray(arr).view(np.uint8)
-                   .reshape(-1, 8)].astype(np.uint32)
+    raw = _HEX_LUT[np.ascontiguousarray(arr).view(np.uint8).reshape(-1, 8)]
+    # the LUT marks any byte outside [0-9a-f] (incl. the NUL padding of
+    # an id shorter than 8 chars) with a sentinel: a persistent bucket
+    # function must FAIL on format drift (uppercase digests, truncated
+    # ids), not silently route rows to wrong buckets — that is exactly
+    # the duplicate-row corruption the ledger's BUCKET_HASH_ID stamp
+    # exists to prevent
+    if raw.max() > 15:
+        bad = int(np.argmax((raw > 15).any(axis=1)))
+        raise ValueError(
+            f"bucket_of_hexid: id {ids[bad]!r} is not >=8 chars of "
+            f"lowercase hex — refusing to bucket (layout is persistent; "
+            f"see BUCKET_HASH_ID)")
+    nib = raw.astype(np.uint32)
     val = (nib << _HEX_SHIFTS).sum(axis=1, dtype=np.uint32)
     return pa.array((val % np.uint32(num_buckets)).astype(np.int32),
                     type=pa.int32())
@@ -70,7 +82,7 @@ def bucket_of_hexid(ids, num_buckets: int):
 
 def _hex_tables():
     import numpy as np
-    lut = np.zeros(256, dtype=np.uint8)
+    lut = np.full(256, 255, dtype=np.uint8)  # 255 = invalid-byte sentinel
     for i, c in enumerate("0123456789abcdef"):
         lut[ord(c)] = i
     shifts = (np.uint32(4) * np.arange(7, -1, -1)).astype(np.uint32)

@@ -199,6 +199,33 @@ def _scan_state_path(out_dir: str) -> str:
     return os.path.join(out_dir, "scan_state")
 
 
+def _migrate_scan_state(state_path: str) -> None:
+    """One-time in-place migration of a legacy two-column scan state.
+
+    The certifier registry added a required ``certifier`` column to the
+    state schema; a store written by the pre-registry build would crash
+    both the ``pc.field('certifier')`` read filter and the
+    ``select(_STATE_SCHEMA.names)`` recommit.  Every legacy row was
+    written by the original category certifier, so stamping
+    ``certifier='category'`` preserves exact semantics.  The rewrite is
+    atomic (write_table's tmp-dir + rename), so a crash mid-migration
+    leaves the legacy table intact and the next call retries."""
+    import pyarrow.dataset as pads
+    schema = pads.dataset(state_path, format="parquet").schema
+    if "certifier" in schema.names:
+        return
+    legacy = rd.read_parquet(state_path)
+    stamped = legacy.map_batches(
+        lambda t: pa.table({
+            "node_id": t["node_id"],
+            "certifier": pa.array(["category"] * t.num_rows,
+                                  type=pa.string()),
+            "last_scan_unix": pc.cast(t["last_scan_unix"],
+                                      pa.float64())}),
+        batch_format="pyarrow")
+    write_table(stamped, state_path)
+
+
 def _read_store_nodes(out_dir: str, node_type: str):
     """node_type-filtered read that works for flat AND incremental
     (hive bucket-partitioned) node tables."""
@@ -219,6 +246,7 @@ def nodes_needing_scan(out_dir: str, *, node_type: str,
     state = _scan_state_path(out_dir)
     if not os.path.isdir(state):
         return nodes
+    _migrate_scan_state(state)
     cutoff = now - rescan_after_s
     fresh = rd.read_parquet(
         state, filter=(pc.field("certifier") == certifier)
@@ -267,11 +295,16 @@ def run_enrichment(out_dir: str, *, certifier: str = "category",
     # new edge rows (n_evidence=0: derived, not page evidence;
     # first_seen = null — enrichment is not event-timed)
     def to_edges(t: pa.Table) -> pa.Table:
-        from ..functions.keys import edge_id as _edge_id
         from ..functions.text import SYMMETRIC_PREDICATES
-        eids = [_edge_id(s, p, o, pr) for s, p, o, pr in
-                zip(t["subj_id"].to_pylist(), t["predicate"].to_pylist(),
-                    t["obj_id"].to_pylist(), t["props"].to_pylist())]
+        from ..stages.canonicalize import edge_ids_memo
+        # memoized minting shared with bulk ingest (add_ids_batch) —
+        # enrichment objects repeat heavily (10 categories, 1 sentinel),
+        # so the per-row blake2b collapses to dict hits; orientation
+        # rule identical so ids agree across producers
+        eids = edge_ids_memo(t["subj_id"].to_pylist(),
+                             t["predicate"].to_pylist(),
+                             t["obj_id"].to_pylist(),
+                             t["props"].to_pylist())
         return pa.table({
             "edge_id": pa.array(eids, type=pa.string()),
             "subj_id": t["subj_id"], "predicate": t["predicate"],

@@ -74,21 +74,17 @@ def _exchange(partials, merge_fn, num_buckets: int,
     #reduce-blocks objects, so feeding it hundreds of tiny combiner
     outputs costs more than the sort itself (measured 5× on 550k rows).
 
-    ``coalesce``: None = decide from ``num_blocks()`` (a fully lazy
-    in-flight pipeline raises there and defaults to repartitioning).
-    Round-4 interleaved A/B at 1M pages: the repartition wins ~3× at 32
-    CPUs and ~1.7× at 8 EVEN on an already-compacted 23-block
-    checkpoint read (12.5s → 4.1s / 19.8s → 11.8s for the full
-    exchange) — i.e. the skip heuristic's premise only holds for truly
-    pre-bucketed inputs.  The explicit flag exists for callers that
-    measured their layout; when unsure, leave None.
+    ``coalesce``: Round-4 interleaved A/B at 1M pages: the repartition
+    wins ~3× at 32 CPUs and ~1.7× at 8 EVEN on an already-compacted
+    23-block checkpoint read (12.5s → 4.1s / 19.8s → 11.8s for the full
+    exchange) — the old block-count skip heuristic's premise only holds
+    for inputs already bucketed BY THE EXCHANGE KEY, which a block
+    count cannot detect.  So ``None`` now means repartition (round-5,
+    per that measurement); ``False`` is the explicit escape for callers
+    that measured a genuinely pre-bucketed layout.
     """
     if coalesce is None:
-        try:
-            n_blocks = partials.num_blocks()
-        except Exception:
-            n_blocks = None
-        coalesce = n_blocks is None or n_blocks > 2 * num_buckets
+        coalesce = True
     if coalesce:
         partials = partials.repartition(num_buckets)
     return partials.groupby("bucket").map_groups(merge_fn,
@@ -126,23 +122,12 @@ def _node_id_memo(key: str) -> str:
     return nid
 
 
-def add_ids_batch(batch: pa.Table) -> pa.Table:
-    """Stamp content-hash subj_id / obj_id / edge_id columns.
-
-    Edge identity covers the typed props string (when present), so
-    prop-distinct statements stay distinct edges (assembler InputSpec
-    identity, keyvalue/isDependency.go:46-56)."""
+def edge_ids_memo(subj_ids, preds, obj_ids, props) -> list[str]:
+    """Memoized edge-id minting with the canonical min-id orientation
+    for symmetric predicates — shared by the bulk ingest path and the
+    enrichment delta (enrich.py ``to_edges``), so every producer mints
+    identical ids for identical statements."""
     from ..functions.text import SYMMETRIC_PREDICATES
-    subj_ids = [_node_id_memo(k) for k in batch["subj_key"].to_pylist()]
-    obj_ids = [_node_id_memo(k) for k in batch["obj_key"].to_pylist()]
-    preds = batch["predicate"].to_pylist()
-    props = (batch["props"].to_pylist() if "props" in batch.column_names
-             else [""] * batch.num_rows)
-    # undirected predicates hash in canonical (min id first) orientation
-    # so "A partnered with B" and "B partnered with A" get ONE edge_id
-    # (assembler.go:84 equal-edge semantics).  The triple row keeps
-    # statement order (provenance); the edges-table combiner
-    # (_edge_partial_batch) normalizes the stored orientation.
     ecache = _edge_id_cache
     if len(ecache) >= _ID_CACHE_CAP:
         ecache.clear()
@@ -154,6 +139,26 @@ def add_ids_batch(batch: pa.Table) -> pa.Table:
         if eid is None:
             eid = ecache[ek] = _edge_id(*ek)
         eids.append(eid)
+    return eids
+
+
+def add_ids_batch(batch: pa.Table) -> pa.Table:
+    """Stamp content-hash subj_id / obj_id / edge_id columns.
+
+    Edge identity covers the typed props string (when present), so
+    prop-distinct statements stay distinct edges (assembler InputSpec
+    identity, keyvalue/isDependency.go:46-56)."""
+    subj_ids = [_node_id_memo(k) for k in batch["subj_key"].to_pylist()]
+    obj_ids = [_node_id_memo(k) for k in batch["obj_key"].to_pylist()]
+    preds = batch["predicate"].to_pylist()
+    props = (batch["props"].to_pylist() if "props" in batch.column_names
+             else [""] * batch.num_rows)
+    # undirected predicates hash in canonical (min id first) orientation
+    # so "A partnered with B" and "B partnered with A" get ONE edge_id
+    # (assembler.go:84 equal-edge semantics).  The triple row keeps
+    # statement order (provenance); the edges-table combiner
+    # (_edge_partial_batch) normalizes the stored orientation.
+    eids = edge_ids_memo(subj_ids, preds, obj_ids, props)
     batch = batch.append_column("subj_id", pa.array(subj_ids, type=pa.string()))
     batch = batch.append_column("obj_id", pa.array(obj_ids, type=pa.string()))
     batch = batch.append_column("edge_id", pa.array(eids, type=pa.string()))
@@ -291,10 +296,11 @@ def graph_tables(linked_ds, num_buckets: int | None = None,
     of magnitude smaller than the triples input), then the two table
     views are cheap in-memory projections.
 
-    ``coalesce`` forwards to ``_exchange``; pass False when the input
-    is already compacted (~200k-row blocks from a checkpoint read or
-    the fused writer) so the lazy-input fallback never inserts a
-    serial repartition.
+    ``coalesce`` forwards to ``_exchange``; the ``None`` default
+    repartitions (the round-4 A/B measured that winning ~3× even on a
+    compacted checkpoint read — compact blocks are still not bucketed
+    by the exchange key).  Pass False only for input already bucketed
+    by the exchange's own key.
     """
     nb = resolve_buckets(num_buckets)
     # batch_size=None → combiner sees whole blocks; on 1024-row default

@@ -152,3 +152,36 @@ def test_enrichment_delta_merge_on_incremental_store(small_pages_path,
     from guacray.query.graph import GraphStore
     cats = GraphStore(store).nodes(node_type="category").to_pandas()
     assert len(cats) >= 1
+
+
+def test_legacy_scan_state_migrates(graph_dir):
+    """A scan_state written by the pre-registry build (two columns, no
+    'certifier') must migrate in place — stamped certifier='category' —
+    instead of crashing the read filter (round-4 ADVICE, medium)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # first pass writes the modern state; rewrite it as the legacy shape
+    r1 = run_enrichment(graph_dir, node_type="org", now=1000.0)
+    assert r1["scanned"] > 0
+    state = os.path.join(graph_dir, "scan_state")
+    legacy = rd.read_parquet(state).to_pandas()[["node_id",
+                                                 "last_scan_unix"]]
+    import shutil
+    shutil.rmtree(state)
+    os.makedirs(state)
+    pq.write_table(pa.Table.from_pandas(legacy, preserve_index=False),
+                   os.path.join(state, "part-0.parquet"))
+
+    # legacy rows count as category scans: nothing is stale an hour on
+    r2 = run_enrichment(graph_dir, node_type="org", now=4600.0)
+    assert r2["scanned"] == 0
+    # migrated table has the canonical three columns with the stamp
+    st = rd.read_parquet(state).to_pandas()
+    assert sorted(st.columns) == ["certifier", "last_scan_unix",
+                                  "node_id"]
+    assert (st["certifier"] == "category").all()
+    # and the horizon still expires: a later pass rescans everything
+    r3 = run_enrichment(graph_dir, node_type="org",
+                        rescan_after_s=0.5, now=90000.0)
+    assert r3["scanned"] == r1["scanned"]

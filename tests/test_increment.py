@@ -202,3 +202,22 @@ def test_bucket_hash_pinned_and_mismatch_refused(tmp_path):
         json.dump(ledger, f)
     with pytest.raises(RuntimeError, match="bucket-stamped"):
         ingest_increment(p["b"], store)
+
+
+def test_bucket_of_hexid_refuses_format_drift():
+    """The persistent bucket function must fail loudly on ids that are
+    not >=8 chars of lowercase hex (round-4 ADVICE: the LUT silently
+    mapped drifted bytes to nibble 0 — exactly the mis-bucketing the
+    ledger stamp exists to prevent)."""
+    import pytest
+
+    from guacray.functions.hashing import bucket_of_hexid, content_id
+
+    good = [content_id(str(i)) for i in range(8)]
+    assert len(bucket_of_hexid(good, 8)) == 8
+    for bad in (["DEADBEEFCAFE0123"],      # uppercase hex
+                ["abc"],                    # too short
+                ["xyzw1234abcd5678"],       # non-hex chars
+                good[:3] + ["ABCDEF0012345678"]):  # one bad among good
+        with pytest.raises(ValueError, match="lowercase hex"):
+            bucket_of_hexid(bad, 8)
