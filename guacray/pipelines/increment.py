@@ -314,6 +314,48 @@ def ingest_increment(pages_path, out_dir: str, *,
             **table_counts(out_dir)}
 
 
+def delete_rows_bucketed(table_dir: str, id_col: str, ids: list[str],
+                         schema: pa.Schema) -> int:
+    """Bucket-targeted delete from one incremental table: only the
+    bucket partitions the ids land in are read and rewritten (filtered),
+    every other bucket is hardlinked into the new version untouched —
+    the same touched-bucket discipline as the increment merge, applied
+    to removal.  Returns the number of rows removed.  Atomic: the dir
+    swap publishes the new version or leaves the live one intact."""
+    ledger = _read_ledger(table_dir)
+    stamped = ledger.get("bucket_hash")
+    if stamped != BUCKET_HASH_ID:
+        raise RuntimeError(
+            f"incremental table at {table_dir} was bucket-stamped with "
+            f"{stamped!r}, this build uses {BUCKET_HASH_ID!r} — refusing "
+            "to delete (targeting buckets with a different bucket "
+            "function would miss the rows); rebuild the store")
+    ids = sorted(set(ids))
+    if not ids:
+        return 0
+    nb = ledger["num_buckets"]
+    touched = set(bucket_of_hexid(ids, nb).to_pylist()) \
+        & _live_buckets(table_dir)
+    live = [f for b in sorted(touched) for f in _bucket_files(table_dir, b)]
+    if not live:
+        return 0
+    before = sum(pq.ParquetFile(f).metadata.num_rows for f in live)
+    cols = [f.name for f in schema]
+    import ray
+    ref = ray.put(pa.array(ids))
+
+    def drop(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t[id_col],
+                                           value_set=ray.get(ref))))
+    remaining = read_parquet_fast(live, columns=cols) \
+        .map_batches(drop, batch_format="pyarrow") \
+        .map_batches(_with_bucket(id_col, nb), batch_format="pyarrow")
+    _swap_table(table_dir, remaining, touched, ledger, cols)
+    after = sum(pq.ParquetFile(f).metadata.num_rows
+                for b in sorted(touched) for f in _bucket_files(table_dir, b))
+    return before - after
+
+
 def merge_delta_tables(out_dir: str, d_nodes, d_edges,
                        new_ledger: dict) -> dict:
     """Touched-bucket merge of canonical node/edge DELTA Datasets (a

@@ -53,16 +53,6 @@ class GraphStore:
         self._incremental = os.path.exists(
             os.path.join(self.edges_path, "_applied.json"))
 
-    def _guard_mutation(self):
-        """Deletes rewrite whole tables as flat parquet; on an
-        incremental store that would destroy the bucket layout and the
-        applied-increments ledger, silently corrupting later
-        ``ingest_increment`` merges — refuse loudly instead."""
-        if self._incremental:
-            raise NotImplementedError(
-                "delete on an incremental store is not supported; "
-                "rebuild via init_incremental or use a batch store")
-
     def _read_nodes(self, flt=None, columns=None):
         if columns is None and self._incremental:
             from .. import schemas
@@ -756,37 +746,54 @@ class GraphStore:
         cursor = rows["node_id"].iloc[-1] if has_next and len(rows) else None
         return rows, cursor
 
+    def _delete_table_rows(self, table_path: str, id_col: str,
+                           ids: list[str], schema) -> int:
+        """Remove rows by id from one table.  Flat store: full filtered
+        rewrite (atomic swap — the only option for a single-dir table).
+        Incremental store: bucket-targeted rewrite — only the bucket
+        partitions the ids hash into are read and rewritten, every
+        other bucket is hardlinked (pipelines/increment.py), so a
+        delete touches O(ids) partitions, never the whole graph."""
+        from ..pipelines.kg import write_table
+
+        if not ids:
+            return 0
+        if self._incremental:
+            from ..pipelines.increment import delete_rows_bucketed
+            return delete_rows_bucketed(table_path, id_col, ids, schema)
+        arr = pa.array(sorted(set(ids)))
+        ref = ray.put(arr)
+        before = rd.read_parquet(table_path).count()
+
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.invert(pc.is_in(t[id_col],
+                                               value_set=ray.get(ref))))
+        remaining = rd.read_parquet(table_path).map_batches(
+            fn, batch_format="pyarrow")
+        write_table(remaining, table_path, schema)
+        return before - rd.read_parquet(table_path).count()
+
     def delete_edges(self, edge_ids: list[str]) -> int:
         """Tombstone + compaction delete — the reference supports delete
         for a subset of edge kinds (schema/delete.graphql; keyvalue
         panics otherwise).  Here: filtered rewrite of the edges table
-        (atomic swap) + an append-only tombstone log so lineage shows
-        WHAT was removed.  Returns number of edges removed."""
+        (atomic swap; bucket-targeted on an incremental store) + an
+        append-only tombstone log so lineage shows WHAT was removed.
+        Returns number of edges removed."""
         import json
         import time as _t
 
-        from ..pipelines.kg import write_table
         from .. import schemas
 
-        self._guard_mutation()
-        ids = pa.array(sorted(set(edge_ids)))
-        ref = ray.put(ids)
-        before = rd.read_parquet(self.edges_path).count()
-
-        def fn(t: pa.Table) -> pa.Table:
-            return t.filter(pc.invert(pc.is_in(t["edge_id"],
-                                               value_set=ray.get(ref))))
-        remaining = rd.read_parquet(self.edges_path).map_batches(
-            fn, batch_format="pyarrow")
-        write_table(remaining, self.edges_path, schemas.EDGES)
-        after = rd.read_parquet(self.edges_path).count()
+        removed = self._delete_table_rows(self.edges_path, "edge_id",
+                                          edge_ids, schemas.EDGES)
         log = os.path.join(os.path.dirname(self.edges_path),
                            "_tombstones.jsonl")
         with open(log, "a") as f:
             f.write(json.dumps({"ts_unix": round(_t.time(), 3),
                                 "edge_ids": sorted(set(edge_ids)),
-                                "removed": before - after}) + "\n")
-        return before - after
+                                "removed": removed}) + "\n")
+        return removed
 
     def delete_node(self, node_id: str) -> dict:
         """Delete a node AND its incident edges — the reference's node
@@ -794,7 +801,9 @@ class GraphStore:
         (/root/reference/pkg/assembler/graphql/schema/delete.graphql).
 
         One atomic rewrite per table (tmp dir + rename swap, like
-        ``delete_edges``), with an INTENT record appended to the
+        ``delete_edges``; bucket-targeted on an incremental store — only
+        the partitions the node id and its incident edge ids hash into
+        are rewritten), with an INTENT record appended to the
         tombstone log before the first rewrite so a crash between the
         two swaps is detectable (intent without a matching "done") and
         replayable (the delete is idempotent); EVIDENCE IS RETAINED —
@@ -806,10 +815,8 @@ class GraphStore:
         import json
         import time as _t
 
-        from ..pipelines.kg import write_table
         from .. import schemas
 
-        self._guard_mutation()
         # collect the incident edge ids first (small: one node's edges)
         incident = self.neighbors(node_id).select_columns(["edge_id"]) \
             .to_pandas()["edge_id"].tolist()
@@ -832,22 +839,13 @@ class GraphStore:
             f.flush()
             os.fsync(f.fileno())
 
-        def drop_edges(t: pa.Table) -> pa.Table:
-            m = pc.or_(pc.equal(t["subj_id"], pa.scalar(node_id)),
-                       pc.equal(t["obj_id"], pa.scalar(node_id)))
-            return t.filter(pc.invert(m))
-
-        remaining_edges = rd.read_parquet(self.edges_path).map_batches(
-            drop_edges, batch_format="pyarrow")
-        write_table(remaining_edges, self.edges_path, schemas.EDGES)
-
-        nodes_before = self._read_nodes().count()
-        remaining_nodes = self._read_nodes().map_batches(
-            lambda t: t.filter(pc.invert(pc.equal(t["node_id"],
-                                                  pa.scalar(node_id)))),
-            batch_format="pyarrow")
-        write_table(remaining_nodes, self.nodes_path, schemas.NODES)
-        nodes_removed = nodes_before - self._read_nodes().count()
+        # incident = exactly the rows a subj/obj filter would drop
+        # (single-writer contract: the table cannot change in between),
+        # so the id-targeted delete works for flat AND incremental
+        edges_removed = self._delete_table_rows(
+            self.edges_path, "edge_id", incident, schemas.EDGES)
+        nodes_removed = self._delete_table_rows(
+            self.nodes_path, "node_id", [node_id], schemas.NODES)
 
         with open(log, "a") as f:
             f.write(json.dumps({"ts_unix": round(_t.time(), 3),
@@ -855,9 +853,9 @@ class GraphStore:
                                 "node_id": node_id,
                                 "edge_ids": sorted(incident),
                                 "removed_nodes": nodes_removed,
-                                "removed_edges": len(incident)}) + "\n")
+                                "removed_edges": edges_removed}) + "\n")
         return {"nodes_removed": nodes_removed,
-                "edges_removed": len(incident)}
+                "edges_removed": edges_removed}
 
     def edges_page(self, *, after_edge_id: str = "", limit: int = 100,
                    predicates: list[str] | None = None):

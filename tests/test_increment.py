@@ -221,3 +221,59 @@ def test_bucket_of_hexid_refuses_format_drift():
                 good[:3] + ["ABCDEF0012345678"]):  # one bad among good
         with pytest.raises(ValueError, match="lowercase hex"):
             bucket_of_hexid(bad, 8)
+
+
+def test_delete_on_incremental_store(tmp_path):
+    """Round-4 verdict item 6: delete_node / delete_edges on an
+    init_incremental store must rewrite ONLY the bucket partitions the
+    ids land in (untouched bucket inodes unchanged — hardlinked), keep
+    the ledger intact, and leave the store ingestable."""
+    import ray.data as rd
+
+    from guacray.functions.hashing import bucket_of_hexid
+    from guacray.query.graph import GraphStore
+
+    p = _split_pages(tmp_path, n=320, cut=256)
+    store = str(tmp_path / "store")
+    init_incremental(p["a"], store, num_buckets=8)
+
+    edges_before = read_graph_table(store, "edges").to_pandas()
+    nodes_before = read_graph_table(store, "nodes").to_pandas()
+
+    def inodes(table):
+        d = os.path.join(store, table)
+        return {b: {f: os.stat(os.path.join(d, f"bucket={b}", f)).st_ino
+                    for f in os.listdir(os.path.join(d, f"bucket={b}"))}
+                for b in range(8)
+                if os.path.isdir(os.path.join(d, f"bucket={b}"))}
+
+    # --- delete_edges: only the victims' buckets may be rewritten
+    victims = sorted(edges_before["edge_id"])[:4]
+    vb = set(bucket_of_hexid(victims, 8).to_pylist())
+    ino0 = inodes("edges")
+    s = GraphStore(store)
+    assert s.delete_edges(victims) == 4
+    ino1 = inodes("edges")
+    for b in ino0:
+        if b not in vb:
+            assert ino1[b] == ino0[b], f"untouched bucket {b} rewritten"
+    after = read_graph_table(store, "edges").to_pandas()
+    assert set(after["edge_id"]) == \
+        set(edges_before["edge_id"]) - set(victims)
+
+    # --- delete_node: node gone, incident edges gone, others intact
+    victim_node = nodes_before.query("node_type == 'org'")["node_id"].iloc[0]
+    incident = set(after[(after["subj_id"] == victim_node)
+                         | (after["obj_id"] == victim_node)]["edge_id"])
+    r = GraphStore(store).delete_node(victim_node)
+    assert r == {"nodes_removed": 1, "edges_removed": len(incident)}
+    n2 = read_graph_table(store, "nodes").to_pandas()
+    e2 = read_graph_table(store, "edges").to_pandas()
+    assert victim_node not in set(n2["node_id"])
+    assert set(e2["edge_id"]) == set(after["edge_id"]) - incident
+
+    # --- ledger survived and the store still ingests increments
+    inc = ingest_increment(p["b"], store)
+    assert not inc["skipped"]
+    assert table_counts(store)["edges"] == len(
+        read_graph_table(store, "edges").to_pandas())
