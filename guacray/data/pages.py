@@ -167,6 +167,51 @@ def generate_pages(n_pages: int, seed: int = 42, url_offset: int = 0) -> pa.Tabl
     return pa.Table.from_pylist(rows, schema=schema)
 
 
+def synthesize_profile_pages(surfaces: list[str],
+                             seed: int = 42) -> pa.Table:
+    """Deterministic 'fetched' documents about identifier surfaces —
+    the sandbox stand-in for a collector fetching documents about
+    collectsub entries (the deps.dev / OCI metadata-fetch analog;
+    reference flow: parsers push found identifiers through
+    pkg/collectsub/collectsub/collectsub.proto:21-58 and collectors
+    turn them into new documents).
+
+    One profile page per surface, two fact sentences tying the
+    identifier to cataloged entities via NON-symmetric predicates
+    (works_at / located_in — never partnered_with, which would pollute
+    equivalence classes).  The subject surface is emitted verbatim, so
+    extraction + linking reproduce the exact fallback node identity the
+    mention minted in the first pass (fallback_key lower-cases).  Same
+    (surfaces, seed) ⇒ byte-identical table.  ``seed`` must be the
+    STORE's catalog seed so the object entities resolve through the
+    same alias map the store's linker uses."""
+    from ..functions.hashing import content_id
+    cat = build_catalog(seed)
+    orgs = [e.canonical for e in cat.by_type("org")]
+    places = [e.canonical for e in cat.by_type("place")]
+    rows: list[dict] = []
+    for s in sorted(set(surfaces)):
+        h = int(content_id("profile", s)[:12], 16)
+        org, place = orgs[h % len(orgs)], places[h % len(places)]
+        body = (f"<p>{s} works at {org}. "
+                f"{s} is located in {place}.</p>")
+        html = (f"<html><head><title>Profile</title></head>"
+                f"<body><h1>{s}</h1>{body}</body></html>").encode()
+        rows.append({
+            "url": f"https://profiles.example/{content_id('prof', s)[:16]}",
+            "warc_ts": _EPOCH + _dt.timedelta(days=400, seconds=h % 86400),
+            "html": html, "text": extract_text(html), "lang": "en"})
+    rows.sort(key=lambda r: r["url"])
+    schema = pa.schema([
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
 def write_pages(path: str, n_pages: int, seed: int = 42,
                 row_group_size: int = 4096) -> str:
     t = generate_pages(n_pages, seed)
