@@ -219,6 +219,59 @@ def write_pages(path: str, n_pages: int, seed: int = 42,
     return path
 
 
+def _anchor_for(name: str) -> str:
+    """Deterministic document-local abbreviation for an entity: initials
+    + 2 hex chars — shaped so it can never collide with a catalog alias
+    (aliases carry no '-<hex>' suffix)."""
+    from ..functions.hashing import content_id
+    initials = "".join(w[0] for w in name.split() if w).upper()
+    return f"{initials}-{content_id('anchor', name)[:2]}"
+
+
+def generate_anchored_pages(n_pages: int, seed: int = 42) -> pa.Table:
+    """Fixture for the in-document reference indirection (the CSAF
+    product_id → purl analog, parser_csaf.go:208-228): every page
+    DEFINES a local anchor for one cataloged org ("{org} is referred to
+    as {AC-xx}.") and states facts THROUGH the anchor — plus one direct
+    statement of the same shape, so the extraction's resolved triples
+    collapse with directly-stated ones downstream (same content-hash
+    edge).  Deterministic: same (n_pages, seed) ⇒ byte-identical."""
+    cat = build_catalog(seed)
+    rng = random.Random(seed * 7_368_787 + n_pages)
+    orgs = cat.by_type("org")
+    places = [e.canonical for e in cat.by_type("place")]
+    people = [e.canonical for e in cat.by_type("person")]
+    rows: list[dict] = []
+    for i in range(n_pages):
+        org = rng.choice(orgs).canonical
+        anchor = _anchor_for(org)
+        person = rng.choice(people)
+        place = rng.choice(places)
+        sents = [
+            f"{org} is referred to as {anchor}.",
+            f"{person} works at {anchor}.",            # anchored object
+            f"{anchor} is located in {place}.",        # anchored subject
+            f"{rng.choice(people)} works at {org}.",   # direct statement
+            _noise_sentence(rng),
+        ]
+        body = "<p>" + " ".join(sents) + "</p>"
+        html = (f"<html><head><title>Brief {i}</title></head>"
+                f"<body><h1>Brief {i}</h1>{body}</body></html>").encode()
+        rows.append({
+            "url": f"https://anchors.example/p/{i:08d}",
+            "warc_ts": _EPOCH + _dt.timedelta(days=200, seconds=i),
+            "html": html, "text": extract_text(html), "lang": "en"})
+    rows.sort(key=lambda r: r["url"])
+    schema = pa.schema([
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
 def write_pages_sharded(out_dir: str, n_pages: int, seed: int = 42,
                         shard_size: int = 2048) -> str:
     """Bench-scale fixture: shards generated in parallel as Ray tasks,

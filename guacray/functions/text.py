@@ -202,6 +202,42 @@ def derive_props(pred: str, obj: str) -> tuple[str, str]:
     return obj, ""
 
 
+# --- In-document reference indirection -------------------------------------
+#
+# Documents can define a LOCAL anchor for an entity ("Acme Corp is
+# referred to as AC-3f.") and reference the anchor in later (or
+# earlier) statements.  Resolution through the per-document map happens
+# BEFORE emission — the analog of CSAF's product_id → purl indirection,
+# where statements name product_tree ids and the parser resolves them
+# through the document's own table before building the package node
+# (/root/reference/pkg/ingestor/parser/csaf/parser_csaf.go:208-228,
+# ``findPkgSpec``).  Like the product_tree, the map is document-GLOBAL:
+# a use before its definition still resolves.  First definition wins
+# (deterministic); the definition sentence itself emits no statement.
+
+_ANCHOR_NEEDLE = " is referred to as "
+_ANCHOR_DEF_RE = re.compile(
+    r"^(?P<full>.+?) is referred to as (?P<a>.+?)$")
+
+
+def document_anchors(text: str) -> dict[str, str]:
+    """Per-document anchor → full-surface map (the product_tree walk).
+    Local definitions are authoritative within their document — they
+    shadow any corpus-global meaning of the anchor string, exactly as a
+    CSAF product_id is meaningless outside its document."""
+    out: dict[str, str] = {}
+    if _ANCHOR_NEEDLE not in text:
+        return out
+    for sent in sentences(text):
+        stripped = sent.rstrip(".!?").strip()
+        if _ANCHOR_NEEDLE not in stripped:
+            continue
+        m = _ANCHOR_DEF_RE.match(stripped)
+        if m:
+            out.setdefault(m.group("a").strip(), m.group("full").strip())
+    return out
+
+
 def extract_raw_triples(text: str) -> list[tuple[str, str, str, str]]:
     """text → [(subj_surface, predicate, obj_surface, props)], document
     order; ``props`` is the canonical sorted "k=v&k=v" string ("" when
@@ -209,10 +245,18 @@ def extract_raw_triples(text: str) -> list[tuple[str, str, str, str]]:
 
     Deterministic: first matching pattern wins per sentence (patterns are
     ordered); trailing sentence punctuation stripped from the object.
+    Anchor mentions resolve through the per-document map before
+    emission (and before ``derive_props``, so a resolved object still
+    gets its role/version/license treatment) — a statement written via
+    an anchor is THE SAME statement as one naming the entity directly,
+    so their content-hash edges collapse downstream.
     """
+    anchors = document_anchors(text)
     out: list[tuple[str, str, str, str]] = []
     for sent in sentences(text):
         stripped = sent.rstrip(".!?").strip()
+        if _ANCHOR_NEEDLE in stripped:
+            continue  # definition sentences emit no statement
         for pred, pat, needle in _PATTERNS_WITH_NEEDLES:
             # the verb literal is a NECESSARY condition for the regex —
             # a C-speed substring test skips the lazy-quantifier match
@@ -224,6 +268,9 @@ def extract_raw_triples(text: str) -> list[tuple[str, str, str, str]]:
             if m:
                 subj = m.group("s").strip()
                 obj = m.group("o").strip()
+                if anchors:
+                    subj = anchors.get(subj, subj)
+                    obj = anchors.get(obj, obj)
                 if subj and obj:
                     obj, props = derive_props(pred, obj)
                     out.append((subj, pred, obj, props))

@@ -134,3 +134,56 @@ def test_license_surfaces_link_structurally():
         etype, key, name = link_surface(s, {"apache-2.0": ("org", "X")})
         assert etype == "license" and name == s
         assert key.startswith("ent:license::")
+
+
+def test_document_anchors_golden():
+    """Hand-pinned golden for the in-document indirection (CSAF
+    findPkgSpec analog): definitions collected document-globally,
+    first definition wins, use-before-definition resolves, the
+    definition sentence emits no statement, and resolution happens
+    before derive_props."""
+    from guacray.functions.text import document_anchors, extract_raw_triples
+
+    text = ("Judy Hopps works at AC-1. "            # use BEFORE definition
+            "Acme Corp is referred to as AC-1. "
+            "Tyrell Labs is referred to as AC-1. "  # loser: first wins
+            "AC-1 is located in Berlin. "
+            "AC-1 released NanoSuite 2.0. "         # derive_props after
+            "Nick Wilde works at Initech.")         # untouched direct stmt
+    assert document_anchors(text) == {"AC-1": "Acme Corp"}
+    assert extract_raw_triples(text) == [
+        ("Judy Hopps", "works_at", "Acme Corp", ""),
+        ("Acme Corp", "located_in", "Berlin", ""),
+        ("Acme Corp", "released", "NanoSuite 2.0", "version=2.0"),
+        ("Nick Wilde", "works_at", "Initech", ""),
+    ]
+    # a definition whose sides carry verb needles still emits nothing
+    assert extract_raw_triples(
+        "The org located in Berlin is referred to as B-9.") == []
+    # no definitions -> resolution is a no-op (empty-map fast path)
+    assert extract_raw_triples("Judy Hopps works at AC-1.") == [
+        ("Judy Hopps", "works_at", "AC-1", "")]
+
+
+def test_anchored_pages_distributed_parity():
+    """Distributed pipeline == single-threaded reference oracle on the
+    anchored fixture, and resolved statements collapse with directly
+    stated ones (same content-hash edge)."""
+    import ray.data as rd
+
+    from guacray.data.pages import generate_anchored_pages
+    from guacray.data.reference import reference_triples
+    from guacray.pipelines.kg import kg_datasets
+
+    pages = generate_anchored_pages(48, seed=42)
+    got = kg_datasets(rd.from_arrow(pages))["triples"].to_pandas()
+    ref = reference_triples(pages)
+    key = ["document_ref", "subj_key", "predicate", "obj_key", "props"]
+    assert sorted(map(tuple, got[key].values)) == \
+        sorted((r["document_ref"], r["subj_key"], r["predicate"],
+                r["obj_key"], r["props"]) for r in ref)
+    # no anchor string survives extraction: every surface resolved
+    assert not got["subj_surface"].str.contains("-", regex=False) \
+        .where(got["subj_type"] == "unknown", False).any()
+    assert not (got["obj_surface"].str.match(r"^[A-Z]+-[0-9a-f]{2}$")).any()
+    assert not (got["subj_surface"].str.match(r"^[A-Z]+-[0-9a-f]{2}$")).any()
