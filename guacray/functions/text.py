@@ -251,11 +251,14 @@ def extract_raw_triples(text: str) -> list[tuple[str, str, str, str]]:
     an anchor is THE SAME statement as one naming the entity directly,
     so their content-hash edges collapse downstream.
     """
-    anchors = document_anchors(text)
+    # one document-level scan gates ALL per-sentence anchor work: on a
+    # corpus without definitions the hot loop pays nothing extra
+    has_defs = _ANCHOR_NEEDLE in text
+    anchors = document_anchors(text) if has_defs else {}
     out: list[tuple[str, str, str, str]] = []
     for sent in sentences(text):
         stripped = sent.rstrip(".!?").strip()
-        if _ANCHOR_NEEDLE in stripped:
+        if has_defs and _ANCHOR_NEEDLE in stripped:
             continue  # definition sentences emit no statement
         for pred, pat, needle in _PATTERNS_WITH_NEEDLES:
             # the verb literal is a NECESSARY condition for the regex —

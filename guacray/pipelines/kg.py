@@ -456,12 +456,12 @@ def run_kg(pages_path: str, out_dir: str, *, num_buckets: int | None = None,
     if mode == "mem":
         tri = triples.materialize()
         write_table(tri, tri_dir, schemas.TRIPLES, min_rows_per_file=200_000)
-    elif mode in ("fused", "fused-sync"):
+    elif mode in ("fused", "fused-sync", "disk-async"):
         import shutil
         fused_tmp = tri_dir.rstrip("/") + ".__tmp__"
         shutil.rmtree(fused_tmp, ignore_errors=True)
         os.makedirs(fused_tmp, exist_ok=True)
-        if mode == "fused":
+        if mode in ("fused", "disk-async"):
             flush_registry = ray.remote(num_cpus=0)(
                 _CkptFlushRegistry).remote()
         # batch_size=200k: the writer coalesces the linker's many small
@@ -474,6 +474,21 @@ def run_kg(pages_path: str, out_dir: str, *, num_buckets: int | None = None,
         tri = triples.map_batches(
             _fused_checkpoint_writer(fused_tmp, flush_registry),
             batch_format="pyarrow", batch_size=200_000)
+        if mode == "disk-async":
+            # "disk-async" splits disk mode's two executions WITHOUT its
+            # boundary costs: execution 1 is the pure linker pass (the
+            # actor pool owns every slot — none of fused's packing
+            # contention with exchange task ops), whose output is the
+            # PRUNED canon projection pinned in the object store;
+            # execution 2 runs the exchange from those blocks (no
+            # executor-boundary serial checkpoint re-read).  The full
+            # checkpoint blocks flush on per-worker writer threads
+            # overlapped with BOTH executions; the barrier + atomic
+            # promotion happen after the exchange exactly like fused.
+            # Memory: only CANON_COLS rides the object store (the heavy
+            # evidence columns go straight to disk), unlike "mem" which
+            # pinned full triples and lost 2.5× to spill pressure.
+            tri = tri.materialize()
     else:
         write_table(triples, tri_dir, schemas.TRIPLES,
                     min_rows_per_file=200_000)

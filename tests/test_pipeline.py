@@ -182,13 +182,14 @@ def test_pr_gate_at_larger_corpus():
 def test_checkpoint_modes_equal_outputs(small_pages_path, tmp_path):
     from guacray.pipelines.kg import run_kg
     dirs = {m: str(tmp_path / m)
-            for m in ("disk", "mem", "fused", "fused-sync")}
+            for m in ("disk", "mem", "fused", "fused-sync", "disk-async")}
     counts = {m: run_kg(small_pages_path, d, checkpoint_mode=m)
               for m, d in dirs.items()}
     assert (counts["disk"] == counts["mem"] == counts["fused"]
-            == counts["fused-sync"])
+            == counts["fused-sync"] == counts["disk-async"])
     a = dirs["disk"]
-    for b in (dirs["mem"], dirs["fused"], dirs["fused-sync"]):
+    for b in (dirs["mem"], dirs["fused"], dirs["fused-sync"],
+              dirs["disk-async"]):
         for t, key in (("nodes", "node_id"), ("edges", "edge_id"),
                        ("triples", "edge_id")):
             x = rd.read_parquet(f"{a}/{t}").to_pandas() \
