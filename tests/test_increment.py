@@ -127,9 +127,17 @@ def test_graphstore_over_incremental_store(tmp_path):
     ev = inc.evidence_for_edge(n_inc["edge_id"].iloc[0]).to_pandas()
     assert list(ev.columns) == GraphStore.EVIDENCE_COLS
     assert len(ev) >= 1
-    # destructive rewrites are refused on the incremental layout
-    with pytest.raises(NotImplementedError):
-        inc.delete_node(seed)
+    # round 5: deletes are SUPPORTED on the incremental layout via
+    # bucket-targeted rewrites (test_delete_on_incremental_store covers
+    # the partition discipline); both store kinds converge afterwards
+    r_inc = inc.delete_node(seed)
+    r_bat = bat.delete_node(seed)
+    assert r_inc == r_bat and r_inc["nodes_removed"] == 1
+    e_inc = _table_df(read_graph_table(store, "edges"), "edge_id")
+    e_bat = _table_df(
+        __import__("ray").data.read_parquet(os.path.join(ref, "edges")),
+        "edge_id")
+    pd.testing.assert_frame_equal(e_inc, e_bat)
 
 
 def test_increment_sigkill_replay_equals_clean(tmp_path):
