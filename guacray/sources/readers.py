@@ -23,7 +23,7 @@ def read_pages(path_or_dir: str, *, langs: list[str] | None = None,
     return rd.read_parquet(path_or_dir, columns=columns, filter=flt)
 
 
-def read_binary_docs(path_or_dir: str):
+def read_binary_docs(path_or_dir: str, *, filesystem=None):
     """FileCollector analog: arbitrary files → (path, bytes) rows,
     bytes RAW.
 
@@ -34,10 +34,23 @@ def read_binary_docs(path_or_dir: str):
     must own the codec decision so malformed blobs dead-letter instead;
     so: enumerate files (driver, metadata only) → ``from_items`` paths
     → per-task raw read with compression disabled.  Each task reads its
-    own file — same distribution as the built-in reader."""
+    own file — same distribution as the built-in reader.
+
+    Remote object stores (the S3/GCS collectors,
+    /root/reference/pkg/handler/collector/s3/s3.go,
+    .../gcs/gcs.go:103-152): a ``s3://`` / ``gs://`` URI dispatches
+    through ``pafs.FileSystem.from_uri``, or pass ``filesystem=`` —
+    any picklable ``pyarrow.fs.FileSystem`` (e.g. an ``S3FileSystem``
+    with credentials, the same convention as
+    ``ray.data.read_parquet``); it is captured by the per-task read
+    closure and shipped to workers, so enumeration stays driver-side
+    (metadata only) while the blob bytes are fetched inside the tasks
+    that consume them."""
     from pyarrow import fs as pafs
 
-    if "://" in path_or_dir:
+    if filesystem is not None:
+        filesystem, root = filesystem, path_or_dir
+    elif "://" in path_or_dir:
         filesystem, root = pafs.FileSystem.from_uri(path_or_dir)
     else:
         filesystem, root = pafs.LocalFileSystem(), path_or_dir

@@ -282,3 +282,37 @@ def test_validate_format_gate(tmp_path):
     assert by["ok.jsonl"]["error"] == ""
     assert by["plain.txt"]["format"] == "unknown"
     assert by["plain.txt"]["error"] == ""
+
+
+def test_collector_uri_dispatch_and_filesystem_injection(tmp_path):
+    """The S3/GCS collector path (s3.go / gcs.go:103-152) minus the
+    network: a ``scheme://`` URI dispatches through
+    ``pafs.FileSystem.from_uri`` (here ``file://`` — the one remote-URI
+    scheme resolvable offline), and ``filesystem=`` injects an
+    arbitrary pyarrow FileSystem (here a SubTreeFileSystem standing in
+    for a credentialed S3FileSystem).  Both run the normal distributed
+    read — the filesystem object is pickled into the per-task load
+    closure — and must produce byte-identical rows to the plain local
+    read, including the decode stage downstream."""
+    from pyarrow import fs as pafs
+
+    (tmp_path / "a.jsonl.bz2").write_bytes(bz2.compress(JSONL))
+    (tmp_path / "b.jsonl").write_bytes(JSONL)
+
+    def rows(ds):
+        df = decode_compressed(ds).to_pandas()
+        df["base"] = [os.path.basename(p) for p in df["path"]]
+        return df.sort_values("base")[["base", "bytes", "codec"]] \
+                 .reset_index(drop=True)
+
+    local = rows(read_binary_docs(str(tmp_path)))
+    via_uri = rows(read_binary_docs(f"file://{tmp_path}"))
+    sub = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    via_fs = rows(read_binary_docs("/", filesystem=sub))
+
+    import pandas as pd
+    pd.testing.assert_frame_equal(local, via_uri)
+    pd.testing.assert_frame_equal(local, via_fs)
+    assert list(local["base"]) == ["a.jsonl.bz2", "b.jsonl"]
+    assert local["bytes"].iloc[0] == JSONL      # decoded downstream
+    assert local["codec"].iloc[0] == "bzip2"    # ...from the raw blob
