@@ -750,6 +750,12 @@ def oracle_sql() -> dict[str, str]:
     # the module contract)
     try:
         _kg_store(_oracle_sf())
+        # the kg_anchor_edges oracle reads the ANCHORED store's
+        # checkpoint — build (or deterministically rebuild) it too, so
+        # the oracle never reads a missing path or a stale store left
+        # by an older build (run_kg overwrites atomically; same input
+        # ⇒ byte-identical tables)
+        _kg_anchor_edges(_oracle_sf())
         out.update(_kg_oracles())
     except Exception:
         pass  # no Ray session / no fixture: stay rows-only for these

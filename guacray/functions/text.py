@@ -214,10 +214,34 @@ def derive_props(pred: str, obj: str) -> tuple[str, str]:
 # ``findPkgSpec``).  Like the product_tree, the map is document-GLOBAL:
 # a use before its definition still resolves.  First definition wins
 # (deterministic); the definition sentence itself emits no statement.
+#
+# Statement patterns take PRECEDENCE over the definition pattern: a
+# prose sentence that happens to contain the definition phrase but also
+# matches a predicate ("Acme is located in the region that is referred
+# to as the Rust Belt") is a statement, not a definition — only a
+# sentence that matches NO predicate pattern can define an anchor.
+# Without this rule ordinary prose would both lose its statement and
+# mint a garbage anchor that corrupts later mentions in the document.
 
 _ANCHOR_NEEDLE = " is referred to as "
 _ANCHOR_DEF_RE = re.compile(
     r"^(?P<full>.+?) is referred to as (?P<a>.+?)$")
+
+
+def match_statement(stripped: str):
+    """First predicate pattern that matches the (punctuation-stripped)
+    sentence, as ``(predicate, Match)``; None when the sentence is not a
+    statement.  The verb-literal substring test is a necessary condition
+    for its regex — a C-speed gate that skips the lazy-quantifier match
+    attempt on the ~8 non-matching patterns per sentence (semantics
+    identical; measured ~2× on the extraction UDF)."""
+    for pred, pat, needle in _PATTERNS_WITH_NEEDLES:
+        if needle not in stripped:
+            continue
+        m = pat.match(stripped)
+        if m:
+            return pred, m
+    return None
 
 
 def document_anchors(text: str) -> dict[str, str]:
@@ -232,6 +256,8 @@ def document_anchors(text: str) -> dict[str, str]:
         stripped = sent.rstrip(".!?").strip()
         if _ANCHOR_NEEDLE not in stripped:
             continue
+        if match_statement(stripped) is not None:
+            continue  # statements outrank definitions
         m = _ANCHOR_DEF_RE.match(stripped)
         if m:
             out.setdefault(m.group("a").strip(), m.group("full").strip())
@@ -253,31 +279,22 @@ def extract_raw_triples(text: str) -> list[tuple[str, str, str, str]]:
     """
     # one document-level scan gates ALL per-sentence anchor work: on a
     # corpus without definitions the hot loop pays nothing extra
-    has_defs = _ANCHOR_NEEDLE in text
-    anchors = document_anchors(text) if has_defs else {}
+    anchors = document_anchors(text) if _ANCHOR_NEEDLE in text else {}
     out: list[tuple[str, str, str, str]] = []
     for sent in sentences(text):
         stripped = sent.rstrip(".!?").strip()
-        if has_defs and _ANCHOR_NEEDLE in stripped:
-            continue  # definition sentences emit no statement
-        for pred, pat, needle in _PATTERNS_WITH_NEEDLES:
-            # the verb literal is a NECESSARY condition for the regex —
-            # a C-speed substring test skips the lazy-quantifier match
-            # attempt on the ~8 non-matching patterns per sentence
-            # (semantics identical; measured ~2× on extraction UDF)
-            if needle not in stripped:
-                continue
-            m = pat.match(stripped)
-            if m:
-                subj = m.group("s").strip()
-                obj = m.group("o").strip()
-                if anchors:
-                    subj = anchors.get(subj, subj)
-                    obj = anchors.get(obj, obj)
-                if subj and obj:
-                    obj, props = derive_props(pred, obj)
-                    out.append((subj, pred, obj, props))
-                break
+        r = match_statement(stripped)
+        if r is None:
+            continue  # non-statements (incl. pure definitions) emit nothing
+        pred, m = r
+        subj = m.group("s").strip()
+        obj = m.group("o").strip()
+        if anchors:
+            subj = anchors.get(subj, subj)
+            obj = anchors.get(obj, obj)
+        if subj and obj:
+            obj, props = derive_props(pred, obj)
+            out.append((subj, pred, obj, props))
     return out
 
 

@@ -45,12 +45,11 @@ import os
 import time
 
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data as rd
 
-from ..functions.text import _PATTERNS_WITH_NEEDLES
+from ..functions.text import _ANCHOR_NEEDLE, _PATTERNS_WITH_NEEDLES
 from .increment import _read_ledger, ingest_increment
-from .kg import write_table
+from .kg import upsert_sidecar
 
 COLLECT_STATE = "collect_state"
 
@@ -58,10 +57,12 @@ _STATE_SCHEMA = pa.schema([("surface", pa.string()),
                            ("dispatched_unix", pa.float64())])
 
 # characters that break the sentence round-trip (segmenter splits /
-# quote handling), plus the verb needles (a surface containing one
-# would shift the pattern match) — the collector-side sanitation gate
+# quote handling), plus the verb needles AND the anchor-definition
+# needle (a surface containing either would shift the pattern match /
+# turn a synthesized statement into a definition) — the collector-side
+# sanitation gate
 _UNSAFE_CHARS = set('.!?"<>')
-_NEEDLES = [n for _, _, n in _PATTERNS_WITH_NEEDLES]
+_NEEDLES = [n for _, _, n in _PATTERNS_WITH_NEEDLES] + [_ANCHOR_NEEDLE]
 
 
 def dispatchable(surface: str) -> bool:
@@ -116,15 +117,22 @@ def _commit_dispatch(store_dir: str, surfaces: list[str],
         "surface": pa.array(surfaces, type=pa.string()),
         "dispatched_unix": pa.array([now] * len(surfaces),
                                     type=pa.float64())}))
-    sp = _state_path(store_dir)
-    if os.path.isdir(sp):
-        old = rd.read_parquet(sp).map_batches(
-            lambda t: t.select(_STATE_SCHEMA.names).cast(_STATE_SCHEMA),
-            batch_format="pyarrow")
-        from ..stages.agg import grouped_agg
-        new = grouped_agg(old.union(new), ["surface"],
-                          [("dispatched_unix", "max", "dispatched_unix")])
-    write_table(new, sp)
+    upsert_sidecar(_state_path(store_dir), new, ["surface"],
+                   "dispatched_unix", _STATE_SCHEMA)
+
+
+def _fetch_name(surfaces: list[str]) -> str:
+    """Content-addressed fetch filename: ``ingest_increment`` keys its
+    exactly-once ledger on the input file PATH list, so the path must
+    change exactly when the dispatched surface set does — a fixed
+    ``fetch-{round}.parquet`` name would make the SECOND collect cycle's
+    round 0 collide with the first's ledger entry and silently skip the
+    merge while still committing its surfaces as dispatched (data
+    loss).  Same surfaces ⇒ same path ⇒ crash-replay stays a no-op."""
+    import hashlib
+    h = hashlib.blake2b("\n".join(sorted(surfaces)).encode(),
+                        digest_size=8).hexdigest()
+    return f"fetch-{h}.parquet"
 
 
 def run_collect_loop(store_dir: str, *, fetch=None, max_rounds: int = 2,
@@ -159,19 +167,24 @@ def run_collect_loop(store_dir: str, *, fetch=None, max_rounds: int = 2,
         if not found:
             break
         r = {"round": i, "discovered": len(found), "skipped": skipped}
-        path = fetch(todo, os.path.join(work_dir,
-                                        f"fetch-{i}.parquet")) \
+        path = fetch(todo, os.path.join(work_dir, _fetch_name(todo))) \
             if todo else None
         if path is not None:
             inc = ingest_increment(path, store_dir)
             r["increment"] = inc["increment"]
+            r["increment_skipped"] = inc["skipped"]
             r["edges_total"] = inc.get("edges", None)
         # commit AFTER the ingest: a crash in between replays the fetch
         # and re-ingest, both idempotent (same surfaces ⇒ same pages ⇒
-        # same increment id ⇒ merge skipped)
+        # same content-addressed path ⇒ same increment id ⇒ merge
+        # skipped)
         _commit_dispatch(store_dir, found, now + i)
         rounds.append(r)
-        if not todo:
+        # fixpoint ONLY when we saw the whole pending set: a
+        # dispatch_limit-capped batch that happened to be wholly
+        # undispatchable must not abandon dispatchable identifiers
+        # beyond the cap — the next round's anti join surfaces them
+        if not todo and len(found) < dispatch_limit:
             break
     return {"rounds": rounds,
             "dispatched_total": sum(r["discovered"] for r in rounds)}

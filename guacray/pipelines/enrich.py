@@ -383,7 +383,7 @@ def run_enrichment(out_dir: str, *, certifier: str = "category",
     # commit scan state (atomic via write_table): union old + newly
     # scanned, keep-latest per (node, certifier) via a distributed
     # grouped max — the state table stays in the cluster end to end
-    from ..stages.agg import grouped_agg
+    from .kg import upsert_sidecar
     _STATE_SCHEMA = pa.schema([("node_id", pa.string()),
                                ("certifier", pa.string()),
                                ("last_scan_unix", pa.float64())])
@@ -395,15 +395,9 @@ def run_enrichment(out_dir: str, *, certifier: str = "category",
             "last_scan_unix": pa.array([now] * t.num_rows,
                                        type=pa.float64())}),
         batch_format="pyarrow")
-    state_path = _scan_state_path(out_dir)
-    if os.path.isdir(state_path):
-        old = rd.read_parquet(state_path).map_batches(
-            lambda t: t.select(_STATE_SCHEMA.names).cast(_STATE_SCHEMA),
-            batch_format="pyarrow")
-        new_state = old.union(new_state)
-    st = grouped_agg(new_state, ["node_id", "certifier"],
-                     [("last_scan_unix", "max", "last_scan_unix")])
-    write_table(st, state_path)
+    upsert_sidecar(_scan_state_path(out_dir), new_state,
+                   ["node_id", "certifier"], "last_scan_unix",
+                   _STATE_SCHEMA)
 
     return {"scanned": n_todo,
             "edges_total": _dir_num_rows(os.path.join(out_dir, "edges"))}

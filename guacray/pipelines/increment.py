@@ -330,7 +330,14 @@ def delete_rows_bucketed(table_dir: str, id_col: str, ids: list[str],
             f"{stamped!r}, this build uses {BUCKET_HASH_ID!r} — refusing "
             "to delete (targeting buckets with a different bucket "
             "function would miss the rows); rebuild the store")
-    ids = sorted(set(ids))
+    # ids that are not >=8 chars of lowercase hex cannot exist in an
+    # incremental table (every stored row was bucket-stamped through
+    # bucket_of_hexid at ingest, which REJECTS such ids) — treat them
+    # as not-present (0 rows removed), matching the flat-store path,
+    # instead of letting the persistent-bucket format guard raise
+    ids = sorted({i for i in ids
+                  if isinstance(i, str) and len(i) >= 8
+                  and all(c in "0123456789abcdef" for c in i[:8])})
     if not ids:
         return 0
     nb = ledger["num_buckets"]

@@ -72,6 +72,28 @@ def write_table(ds, out_dir: str, empty_schema=None,
     _commit_dir(tmp, out_dir)
 
 
+def upsert_sidecar(path: str, new_ds, keys: list[str], ts_col: str,
+                   schema) -> None:
+    """Keyed keep-latest commit of a small state sidecar (scan_state,
+    collect_state): union the live table with ``new_ds``, keep the max
+    ``ts_col`` row per ``keys`` via a distributed grouped max, and
+    publish atomically through ``write_table``.  One implementation for
+    every sidecar so schema handling / atomicity fixes land once.  The
+    live table is projected+cast to ``schema`` (so a column ADDED to the
+    schema must be migrated by the caller before calling — see
+    enrich._migrate_scan_state for the pattern)."""
+    import ray.data as rd
+
+    from ..stages.agg import grouped_agg
+    if os.path.isdir(path):
+        old = rd.read_parquet(path).map_batches(
+            lambda t: t.select(schema.names).cast(schema),
+            batch_format="pyarrow")
+        new_ds = old.union(new_ds)
+    st = grouped_agg(new_ds, keys, [(ts_col, "max", ts_col)])
+    write_table(st, path, schema)
+
+
 def _commit_dir(tmp: str, out_dir: str) -> None:
     """Atomically promote a fully-written tmp dir to ``out_dir``."""
     import shutil

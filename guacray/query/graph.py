@@ -477,6 +477,37 @@ class GraphStore:
                 frontier_ds = close_classes(frontier_ds, d)
         return "ds", visited()
 
+    def _bfs_dag(self, start_id: str, direction: str, max_depth: int):
+        """Shared DAG construction for the toposort family: BFS depths,
+        then orient every subgraph edge from the SHALLOWER endpoint to
+        the deeper one, in the BFS's own traversal direction — for
+        ``direction="in"`` the walk follows edges backwards, so the
+        depth-increasing orientation of a raw edge (s, o) is (o, s)
+        (the old hardcoded ``depth[s] < depth[o]`` kept zero traversal
+        edges and collapsed every level to 0).  ``"both"`` keeps
+        whichever orientation increases depth (at most one can).
+        Equal-depth edges are dropped in all modes, so cycles in the raw
+        graph cannot starve Kahn's queue."""
+        depth = self.reachable(start_id, direction=direction,
+                               max_depth=max_depth)
+        nodes = set(depth)
+        edges = self._frontier_expand(nodes, None, "both")
+        adj: dict[str, list[str]] = {n: [] for n in nodes}
+        indeg = {n: 0 for n in nodes}
+        for s, o in zip(edges["subj_id"].to_pylist(),
+                        edges["obj_id"].to_pylist()):
+            if s not in nodes or o not in nodes:
+                continue
+            if direction in ("out", "both") and depth[s] < depth[o]:
+                u, v = s, o
+            elif direction in ("in", "both") and depth[o] < depth[s]:
+                u, v = o, s
+            else:
+                continue
+            adj[u].append(v)
+            indeg[v] += 1
+        return depth, adj, indeg
+
     def toposort(self, start_id: str, *, direction: str = "out",
                  max_depth: int = 10) -> list[str]:
         """Kahn's algorithm over the BFS-layered subgraph (driver-side —
@@ -485,17 +516,8 @@ class GraphStore:
         the order is over the BFS-derived DAG: only depth-increasing
         edges constrain the order, so cycles in the raw graph cannot
         starve the queue."""
-        depth = self.reachable(start_id, direction=direction,
-                               max_depth=max_depth)
+        depth, adj, indeg = self._bfs_dag(start_id, direction, max_depth)
         nodes = set(depth)
-        edges = self._frontier_expand(nodes, None, "out")
-        adj: dict[str, list[str]] = {n: [] for n in nodes}
-        indeg = {n: 0 for n in nodes}
-        for s, o in zip(edges["subj_id"].to_pylist(),
-                        edges["obj_id"].to_pylist()):
-            if s in nodes and o in nodes and depth[s] < depth[o]:
-                adj[s].append(o)
-                indeg[o] += 1
         q = deque(sorted(n for n in nodes if indeg[n] == 0))
         out: list[str] = []
         while q:
@@ -516,17 +538,8 @@ class GraphStore:
         longest-path-from-roots in the DAG, so it is SQL-derivable
         (recursive CTE, MAX(lvl) per node) — unlike the flat order,
         which is iterative-choice-dependent."""
-        depth = self.reachable(start_id, direction=direction,
-                               max_depth=max_depth)
+        depth, adj, indeg = self._bfs_dag(start_id, direction, max_depth)
         nodes = set(depth)
-        edges = self._frontier_expand(nodes, None, "out")
-        adj: dict[str, list[str]] = {n: [] for n in nodes}
-        indeg = {n: 0 for n in nodes}
-        for s, o in zip(edges["subj_id"].to_pylist(),
-                        edges["obj_id"].to_pylist()):
-            if s in nodes and o in nodes and depth[s] < depth[o]:
-                adj[s].append(o)
-                indeg[o] += 1
         level = {n: 0 for n in nodes if indeg[n] == 0}
         frontier = list(level)
         lvl = 0
@@ -818,8 +831,9 @@ class GraphStore:
         from .. import schemas
 
         # collect the incident edge ids first (small: one node's edges)
-        incident = self.neighbors(node_id).select_columns(["edge_id"]) \
-            .to_pandas()["edge_id"].tolist()
+        df = self.neighbors(node_id).select_columns(["edge_id"]).to_pandas()
+        # an empty expansion drops its schema (no edge_id column)
+        incident = df["edge_id"].tolist() if "edge_id" in df.columns else []
 
         # ledger-first: each table swap below is atomic, but the
         # OPERATION spans two swaps — a crash in between would leave the

@@ -280,6 +280,13 @@ def test_delete_on_incremental_store(tmp_path):
     assert victim_node not in set(n2["node_id"])
     assert set(e2["edge_id"]) == set(after["edge_id"]) - incident
 
+    # --- malformed / unknown ids are no-ops (0 removed), matching the
+    # flat-store path — NOT a bucket_of_hexid format-guard ValueError
+    s2 = GraphStore(store)
+    assert s2.delete_edges(["NOT-A-HEX-ID", "short", ""]) == 0
+    assert s2.delete_node("UPPERCASE-OR-BUST") == \
+        {"nodes_removed": 0, "edges_removed": 0}
+
     # --- ledger survived and the store still ingests increments
     inc = ingest_increment(p["b"], store)
     assert not inc["skipped"]

@@ -120,6 +120,31 @@ def test_toposort_levels_contract(store):
             assert max(parents[n]) == lvl - 1
 
 
+def test_toposort_direction_in(store):
+    """direction='in' must layer the REVERSE traversal: the BFS walks
+    edges backwards, so the DAG edge for a raw (s, o) is (o, s) when
+    depth[o] < depth[s].  The old hardcoded depth[s] < depth[o] filter
+    kept zero traversal edges and reported (almost) every node at
+    level 0."""
+    depth = store.reachable(ACME, direction="in", max_depth=3)
+    if max(depth.values()) == 0:  # nothing points at ACME in fixture
+        import pytest
+        pytest.skip("fixture has no in-edges at ACME")
+    levels = store.toposort_levels(ACME, direction="in", max_depth=3)
+    order = store.toposort(ACME, direction="in", max_depth=3)
+    assert set(levels) == set(order) == set(depth)
+    # traversal edges constrain the layering: some node must sit at a
+    # level > 0 (there IS at least one depth-1 node)
+    assert max(levels.values()) > 0
+    # contract: every kept DAG edge (o -> s, depth[o] < depth[s])
+    # strictly increases the level
+    edges = store._frontier_expand(set(depth), None, "both")
+    for s, o in zip(edges["subj_id"].to_pylist(),
+                    edges["obj_id"].to_pylist()):
+        if s in levels and o in levels and depth[o] < depth[s]:
+            assert levels[s] > levels[o]
+
+
 def test_evidence_drilldown(store, small_pages):
     _, ref_edges = reference_graph(small_pages)
     e = max(ref_edges, key=lambda x: x["n_evidence"])

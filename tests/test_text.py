@@ -165,6 +165,25 @@ def test_document_anchors_golden():
         ("Judy Hopps", "works_at", "AC-1", "")]
 
 
+def test_statement_outranks_definition():
+    """Ordinary prose containing the definition phrase mid-sentence is a
+    STATEMENT, not a definition: the predicate match wins, the statement
+    is emitted, and no garbage anchor is minted to corrupt later
+    mentions in the same document."""
+    from guacray.functions.text import document_anchors, extract_raw_triples
+
+    text = ("Acme Corp is located in the region that is referred to as "
+            "the Rust Belt. Judy Hopps works at the Rust Belt.")
+    # the prose sentence emits its located_in statement verbatim...
+    assert extract_raw_triples(text) == [
+        ("Acme Corp", "located_in",
+         "the region that is referred to as the Rust Belt", ""),
+        # ...and 'the Rust Belt' is NOT remapped by a phantom anchor
+        ("Judy Hopps", "works_at", "the Rust Belt", ""),
+    ]
+    assert document_anchors(text) == {}
+
+
 def test_anchored_pages_distributed_parity():
     """Distributed pipeline == single-threaded reference oracle on the
     anchored fixture, and resolved statements collapse with directly
