@@ -725,6 +725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": R.media_frames,
         "embedding_near_dup_pairs": R.embedding_near_dup_pairs,
         "doc_winnow": R.doc_winnow,
+        "doc_repetition": R.doc_repetition,
     }
     assert len(window) == DRIVER_WINDOW, (
         f"driver window section has {len(window)} entries, "

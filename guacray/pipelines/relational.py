@@ -35,7 +35,8 @@ from ..stages.dedup import (exact_dedup, jaccard_pairs, minhash_lsh_pairs,
                             simhash_pairs)
 from ..stages.ngrams import decontaminate, repeated_ngrams
 from ..stages.quality import (lang_id, norm_fingerprint, quality_scores,
-                              token_counts, winnow_fingerprints)
+                              repetition_metrics, token_counts,
+                              winnow_fingerprints)
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -875,6 +876,14 @@ def doc_lang_id(sf_dir: str):
     return lang_id(ds)
 
 
+def doc_repetition(sf_dir: str):
+    """Gopher/MassiveText within-document repetition metrics (dup-word
+    / dup-2-gram / top-2-gram fractions) — SQL-checked value for value
+    against a DuckDB LATERAL-unnest re-derivation."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return repetition_metrics(ds, k=2)
+
+
 def doc_winnow(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     fp = winnow_fingerprints(ds)
@@ -1323,6 +1332,35 @@ SQL: dict[str, str] = {
     """,
     # single-space split == the engine's split_pattern(' ') tokenizer;
     # DISTINCT inside `ng` == the engine's per-document gram dedup
+    "doc_repetition": """
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), wstats AS (
+            SELECT doc_id, count(*) AS n_words,
+                   count(DISTINCT word) AS nd_words
+            FROM words, LATERAL unnest(w) AS t(word)
+            GROUP BY doc_id
+        ), gcounts AS (
+            SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g,
+                   count(*) AS c
+            FROM words,
+                 LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
+            GROUP BY doc_id, g
+        ), gstats AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                   count(*) AS nd_grams, max(c) AS max_gram
+            FROM gcounts GROUP BY doc_id
+        )
+        SELECT wstats.doc_id, n_words,
+               round(1 - nd_words / CAST(n_words AS DOUBLE), 4)
+                   AS dup_word_frac,
+               n_grams,
+               round(1 - nd_grams / CAST(n_grams AS DOUBLE), 4)
+                   AS dup_gram_frac,
+               round(max_gram / CAST(n_grams AS DOUBLE), 4)
+                   AS top_gram_frac
+        FROM wstats JOIN gstats USING (doc_id)
+    """,
     "doc_repeated_ngrams": """
         WITH words AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents

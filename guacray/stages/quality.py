@@ -85,6 +85,98 @@ def quality_scores_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+# --------------------------------------------------- repetition (Gopher)
+
+def repetition_metrics(ds, k: int = 2):
+    """Within-document repetition signals (the Gopher/MassiveText
+    repetition filters — Rae et al. 2021 §A1.1): per document, the
+    duplicate-word fraction, duplicate word-k-gram fraction, and the
+    fraction of k-gram slots taken by the single most frequent k-gram.
+    Real pipelines drop documents past thresholds on these (templated /
+    machine-generated text); the engine emits the metrics and lets the
+    curation gate choose thresholds.
+
+    Output: doc_id, n_words, dup_word_frac, n_grams, dup_gram_frac,
+    top_gram_frac — docs with fewer than k words emit nothing (they
+    have no k-gram slots; the SQL oracle's LATERAL unnest drops them
+    identically).
+
+    Scale shape: one streaming ``map_batches`` pass; the word/k-gram
+    explosion and the per-document counting are Arrow kernels +
+    ``group_by`` INSIDE the batch (a document never spans rows), so
+    nothing shuffles and nothing is per-row Python except the final
+    row-count-sized ratio arrays."""
+    return ds.map_batches(lambda t: repetition_metrics_batch(t, k),
+                          batch_format="pyarrow")
+
+
+def repetition_metrics_batch(batch: pa.Table, k: int = 2) -> pa.Table:
+    import numpy as np
+
+    from ..functions.rounding import np_round_half_away
+    empty = pa.table({
+        "doc_id": pa.array([], batch["doc_id"].type if batch.num_rows
+                           else pa.int64()),
+        "n_words": pa.array([], pa.int64()),
+        "dup_word_frac": pa.array([], pa.float64()),
+        "n_grams": pa.array([], pa.int64()),
+        "dup_gram_frac": pa.array([], pa.float64()),
+        "top_gram_frac": pa.array([], pa.float64())})
+    if batch.num_rows == 0:
+        return empty
+    words = pc.split_pattern(batch["text"], " ")
+    flat = pc.list_flatten(words).combine_chunks()
+    parents = pc.list_parent_indices(words).combine_chunks()
+    n = batch.num_rows
+    n_words = pc.list_value_length(words).to_numpy(
+        zero_copy_only=False).astype("int64")
+
+    # distinct words per document (single-space split == the oracle's
+    # string_split semantics, empty strings counted like DuckDB's)
+    wc = pa.table({"p": parents, "w": flat}).group_by(["p"]).aggregate(
+        [("w", "count_distinct")])
+    nd_words = np.zeros(n, dtype="int64")
+    nd_words[wc["p"].to_numpy(zero_copy_only=False)] = \
+        wc["w_count_distinct"].to_numpy(zero_copy_only=False)
+
+    # k-gram slots: the shifted-slice windows of the ngram kernel,
+    # kept NON-distinct here (repetition needs total + max counts)
+    m = len(flat) - k + 1
+    if m <= 0:
+        return empty
+    grams = pc.binary_join_element_wise(
+        *(flat.slice(j, m) for j in range(k)), pa.scalar(" "))
+    valid = pc.equal(parents.slice(0, m), parents.slice(k - 1, m))
+    gtab = pa.table({"p": pc.filter(parents.slice(0, m), valid),
+                     "g": pc.filter(grams, valid)})
+    gc = gtab.group_by(["p", "g"]).aggregate([("g", "count")])
+    gs = gc.group_by(["p"]).aggregate([("g_count", "sum"),
+                                       ("g_count", "max"),
+                                       ("g_count", "count")])
+    idx = gs["p"].to_numpy(zero_copy_only=False)
+    n_grams = np.zeros(n, dtype="int64")
+    n_grams[idx] = gs["g_count_sum"].to_numpy(zero_copy_only=False)
+    nd_grams = np.zeros(n, dtype="int64")
+    nd_grams[idx] = gs["g_count_count"].to_numpy(zero_copy_only=False)
+    max_gram = np.zeros(n, dtype="int64")
+    max_gram[idx] = gs["g_count_max"].to_numpy(zero_copy_only=False)
+
+    keep = n_grams >= 1
+    ng = n_grams[keep].astype("float64")
+    return pa.table({
+        "doc_id": pc.filter(batch["doc_id"], pa.array(keep)),
+        "n_words": pa.array(n_words[keep], type=pa.int64()),
+        "dup_word_frac": pa.array(np_round_half_away(
+            1.0 - nd_words[keep] / n_words[keep].astype("float64"), 4),
+            type=pa.float64()),
+        "n_grams": pa.array(n_grams[keep], type=pa.int64()),
+        "dup_gram_frac": pa.array(np_round_half_away(
+            1.0 - nd_grams[keep] / ng, 4), type=pa.float64()),
+        "top_gram_frac": pa.array(np_round_half_away(
+            max_gram[keep] / ng, 4), type=pa.float64()),
+    })
+
+
 # ------------------------------------------------------- fingerprints
 
 def norm_fingerprint(ds):

@@ -673,6 +673,36 @@ def test_ngram_explode_matches_brute_force():
     assert got == want  # distinct per doc, no cross-doc windows
 
 
+def test_repetition_metrics_matches_brute_force():
+    """Gopher repetition metrics vs a per-row reference incl. the
+    edge cases: 1-word doc (no 2-gram slots — emits nothing, like the
+    oracle's LATERAL), empty text (split yields one empty word), all
+    words identical, and multi-row batch alignment."""
+    from guacray.functions.rounding import round_half_away
+    from guacray.stages.quality import repetition_metrics
+    texts = ["a b c d a b c", "q q q q", "x", "", "m n m n m n",
+             "one two three four five"]
+    ds = _docs(texts)
+    got = repetition_metrics(ds, k=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = []
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        grams = [" ".join(w[j:j + 2]) for j in range(len(w) - 1)]
+        if not grams:
+            continue
+        from collections import Counter
+        gc = Counter(grams)
+        want.append({
+            "doc_id": i, "n_words": len(w),
+            "dup_word_frac": round_half_away(1 - len(set(w)) / len(w), 4),
+            "n_grams": len(grams),
+            "dup_gram_frac": round_half_away(1 - len(gc) / len(grams), 4),
+            "top_gram_frac": round_half_away(max(gc.values()) / len(grams),
+                                             4)})
+    assert got.to_dict("records") == want
+
+
 def test_repeated_ngrams_and_decontaminate():
     from guacray.stages.ngrams import decontaminate, repeated_ngrams
     texts = ["common gram here plus one", "common gram here plus two",
