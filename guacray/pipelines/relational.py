@@ -1331,7 +1331,8 @@ SQL: dict[str, str] = {
         GROUP BY ROLLUP(r_name, n_name)
     """,
     # single-space split == the engine's split_pattern(' ') tokenizer;
-    # DISTINCT inside `ng` == the engine's per-document gram dedup
+    # gcounts is deliberately NON-distinct (repetition needs total and
+    # max counts per gram)
     "doc_repetition": """
         WITH words AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -1361,6 +1362,8 @@ SQL: dict[str, str] = {
                    AS top_gram_frac
         FROM wstats JOIN gstats USING (doc_id)
     """,
+    # single-space split == the engine's split_pattern(' ') tokenizer;
+    # DISTINCT inside `ng` == the engine's per-document gram dedup
     "doc_repeated_ngrams": """
         WITH words AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -28,32 +28,49 @@ import ray
 from .agg import agg_by_name, grouped_agg
 
 
+def word_windows(texts, k: int):
+    """THE word-k-gram window kernel, shared by every n-gram operator
+    (explode, repetition metrics): single-space split (== DuckDB
+    ``string_split(text, ' ')``), flatten with parent indices, k
+    shifted slices joined element-wise, windows masked to stay inside
+    one document's word list.  Returns ``(words, parents, grams)``
+    where ``parents``/``grams`` are the VALID windows' row indices and
+    gram strings (empty arrays when no document has k words) — one
+    implementation so a tokenizer/windowing change can never drift
+    between the SQL-checked operators built on it."""
+    words = pc.split_pattern(texts, " ")
+    flat = pc.list_flatten(words).combine_chunks()
+    parents = pc.list_parent_indices(words).combine_chunks()
+    m = len(flat) - k + 1
+    if m <= 0:
+        empty_p = pa.array([], parents.type if len(parents) else pa.int64())
+        return words, empty_p, pa.array([], pa.string())
+    grams = pc.binary_join_element_wise(
+        *(flat.slice(j, m) for j in range(k)), pa.scalar(" "))
+    # a window is valid iff it stays inside one document's word list
+    valid = pc.equal(parents.slice(0, m), parents.slice(k - 1, m))
+    return (words, pc.filter(parents.slice(0, m), valid),
+            pc.filter(grams, valid))
+
+
 def ngram_explode_batch(batch: pa.Table, k: int, *,
                         id_col: str = "doc_id",
                         text_col: str = "text") -> pa.Table:
     """Per-batch kernel: DISTINCT (id, ngram) rows, no Python row loop.
 
-    Tokenization is single-space split (== DuckDB ``string_split(text,
-    ' ')``); docs with fewer than k words emit nothing (the parent-index
-    mask can never match across documents)."""
+    Tokenization/windowing = ``word_windows``; docs with fewer than k
+    words emit nothing (the parent-index mask can never match across
+    documents)."""
     empty = pa.table({id_col: pa.array([], batch[id_col].type),
                       "ngram": pa.array([], pa.string())})
     if batch.num_rows == 0:
         return empty
-    words = pc.split_pattern(batch[text_col], " ")
-    flat = pc.list_flatten(words).combine_chunks()
-    parents = pc.list_parent_indices(words).combine_chunks()
-    m = len(flat) - k + 1
-    if m <= 0:
+    _, parents, grams = word_windows(batch[text_col], k)
+    if len(grams) == 0:
         return empty
-    grams = pc.binary_join_element_wise(
-        *(flat.slice(j, m) for j in range(k)), pa.scalar(" "))
-    # a window is valid iff it stays inside one document's word list
-    valid = pc.equal(parents.slice(0, m), parents.slice(k - 1, m))
     tbl = pa.table({
-        id_col: pc.take(batch[id_col],
-                        pc.filter(parents.slice(0, m), valid)),
-        "ngram": pc.filter(grams, valid),
+        id_col: pc.take(batch[id_col], parents),
+        "ngram": grams,
     })
     return agg_by_name(tbl, [id_col, "ngram"], [])  # per-doc distinct
 

@@ -114,9 +114,9 @@ def repetition_metrics_batch(batch: pa.Table, k: int = 2) -> pa.Table:
     import numpy as np
 
     from ..functions.rounding import np_round_half_away
+    from .ngrams import word_windows
     empty = pa.table({
-        "doc_id": pa.array([], batch["doc_id"].type if batch.num_rows
-                           else pa.int64()),
+        "doc_id": pa.array([], batch["doc_id"].type),
         "n_words": pa.array([], pa.int64()),
         "dup_word_frac": pa.array([], pa.float64()),
         "n_grams": pa.array([], pa.int64()),
@@ -124,7 +124,12 @@ def repetition_metrics_batch(batch: pa.Table, k: int = 2) -> pa.Table:
         "top_gram_frac": pa.array([], pa.float64())})
     if batch.num_rows == 0:
         return empty
-    words = pc.split_pattern(batch["text"], " ")
+    # shared window kernel (stages/ngrams.word_windows) — tokenization
+    # can never drift between the SQL-checked n-gram operators; grams
+    # kept NON-distinct here (repetition needs total + max counts)
+    words, gram_parents, grams = word_windows(batch["text"], k)
+    if len(grams) == 0:
+        return empty
     flat = pc.list_flatten(words).combine_chunks()
     parents = pc.list_parent_indices(words).combine_chunks()
     n = batch.num_rows
@@ -139,16 +144,7 @@ def repetition_metrics_batch(batch: pa.Table, k: int = 2) -> pa.Table:
     nd_words[wc["p"].to_numpy(zero_copy_only=False)] = \
         wc["w_count_distinct"].to_numpy(zero_copy_only=False)
 
-    # k-gram slots: the shifted-slice windows of the ngram kernel,
-    # kept NON-distinct here (repetition needs total + max counts)
-    m = len(flat) - k + 1
-    if m <= 0:
-        return empty
-    grams = pc.binary_join_element_wise(
-        *(flat.slice(j, m) for j in range(k)), pa.scalar(" "))
-    valid = pc.equal(parents.slice(0, m), parents.slice(k - 1, m))
-    gtab = pa.table({"p": pc.filter(parents.slice(0, m), valid),
-                     "g": pc.filter(grams, valid)})
+    gtab = pa.table({"p": gram_parents, "g": grams})
     gc = gtab.group_by(["p", "g"]).aggregate([("g", "count")])
     gs = gc.group_by(["p"]).aggregate([("g_count", "sum"),
                                        ("g_count", "max"),
