@@ -726,6 +726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_pairs": R.embedding_near_dup_pairs,
         "doc_winnow": R.doc_winnow,
         "doc_repetition": R.doc_repetition,
+        "doc_span_dedup": R.doc_span_dedup,
     }
     assert len(window) == DRIVER_WINDOW, (
         f"driver window section has {len(window)} entries, "

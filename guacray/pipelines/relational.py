@@ -32,7 +32,7 @@ from ..stages.agg import (auto_join, grouped_agg, semi_join,
                           semi_join_filter, topk)
 from ..stages.ann import brute_force_topk, lsh_topk, make_query_vector
 from ..stages.dedup import (exact_dedup, jaccard_pairs, minhash_lsh_pairs,
-                            simhash_pairs)
+                            simhash_pairs, span_dedup)
 from ..stages.ngrams import decontaminate, repeated_ngrams
 from ..stages.quality import (lang_id, norm_fingerprint, quality_scores,
                               repetition_metrics, token_counts,
@@ -778,6 +778,15 @@ def doc_exact_dedup(sf_dir: str):
     return exact_dedup(ds)
 
 
+def doc_span_dedup(sf_dir: str, w: int = 15):
+    """C4-style span-level dedup census: per document, how many of its
+    non-overlapping 15-word spans duplicate a span seen earlier in the
+    corpus (SQL-checked value for value against a DuckDB window-rank
+    re-derivation)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return span_dedup(ds, w=w)
+
+
 def doc_token_counts(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return token_counts(ds)
@@ -1361,6 +1370,28 @@ SQL: dict[str, str] = {
                round(max_gram / CAST(n_grams AS DOUBLE), 4)
                    AS top_gram_frac
         FROM wstats JOIN gstats USING (doc_id)
+    """,
+    # single-space split == the engine's split_pattern(' ') tokenizer;
+    # non-overlapping full 15-word spans (the < w tail is dropped on
+    # both sides); first-wins order = (doc_id, span_idx), exactly the
+    # engine's packed-int64 MIN
+    "doc_span_dedup": """
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), spans AS (
+            SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS span_idx,
+                   array_to_string(ws[(u.i-1)*15+1 : u.i*15], ' ') AS span
+            FROM words,
+                 UNNEST(range(1, CAST(len(ws) // 15 AS BIGINT) + 1)) AS u(i)
+        ), flagged AS (
+            SELECT doc_id, span,
+                   ROW_NUMBER() OVER (PARTITION BY span
+                                      ORDER BY doc_id, span_idx) AS rn
+            FROM spans)
+        SELECT doc_id, COUNT(*) AS n_spans,
+               CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_spans
+        FROM flagged GROUP BY doc_id
     """,
     # single-space split == the engine's split_pattern(' ') tokenizer;
     # DISTINCT inside `ng` == the engine's per-document gram dedup

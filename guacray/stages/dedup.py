@@ -69,6 +69,119 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         .map_groups(merge, batch_format="pyarrow")
 
 
+# --------------------------------------------------------- span dedup
+
+_SPAN_IDX_BITS = 20  # spans-per-doc bound for the (doc, idx) encoding
+
+
+def _span_explode(batch: pa.Table, w: int, id_col: str,
+                  text_col: str) -> pa.Table:
+    """Per-batch kernel: consecutive NON-overlapping w-word spans with
+    first-wins encoding — (span, id, enc) rows, no Python row loop.
+
+    Tokenization = single-space split (== DuckDB ``string_split(text,
+    ' ')``, the corpus-wide convention shared with ``word_windows``);
+    only FULL w-word spans are emitted (the < w-word tail is dropped,
+    matching the oracle's ``len(ws) // w``).  ``enc`` packs (doc_id,
+    span_idx) into one int64 so a single MIN aggregation yields the
+    lexicographic first occurrence."""
+    empty = pa.table({
+        "span": pa.array([], pa.string()),
+        id_col: pa.array([], batch[id_col].type),
+        "enc": pa.array([], pa.int64()),
+    })
+    if batch.num_rows == 0:
+        return empty
+    words = pc.split_pattern(batch[text_col], " ")
+    lens = pc.list_value_length(words).combine_chunks() \
+        .to_numpy().astype(np.int64)
+    n_spans = lens // w
+    total = int(n_spans.sum())
+    if total == 0:
+        return empty
+    flat = pc.list_flatten(words).combine_chunks()
+    docrep = np.repeat(np.arange(len(lens)), n_spans)
+    span_idx = np.arange(total) - np.repeat(np.cumsum(n_spans) - n_spans,
+                                            n_spans)
+    doc_offs = np.cumsum(lens) - lens
+    starts = doc_offs[docrep] + span_idx * w
+    spans = pc.binary_join_element_wise(
+        *(pc.take(flat, pa.array(starts + j)) for j in range(w)),
+        pa.scalar(" "))
+    ids = batch[id_col].combine_chunks().to_numpy()[docrep]
+    # encoding bounds: a violation would silently corrupt first-wins
+    # order, so fail loudly (2^43 docs x 2^20 spans covers 10^12 pages)
+    if span_idx.max() >= (1 << _SPAN_IDX_BITS) or \
+            ids.max() >= (1 << (63 - _SPAN_IDX_BITS)):
+        raise ValueError("span_dedup: doc_id/span_idx exceed the "
+                         "(43, 20)-bit first-wins encoding")
+    enc = (ids << _SPAN_IDX_BITS) | span_idx
+    return pa.table({
+        "span": spans,
+        id_col: pa.array(ids),
+        "enc": pa.array(enc, type=pa.int64()),
+    })
+
+
+def span_dedup(ds, w: int = 15, text_col: str = "text",
+               id_col: str = "doc_id", num_buckets: int | None = None):
+    """C4-style cross-document span dedup census.
+
+    Each document splits into consecutive non-overlapping w-word spans;
+    a span is a duplicate iff the identical span text occurs earlier in
+    the corpus (first-wins by (doc_id, span_idx) — the same
+    deterministic winner rule as ``exact_dedup``).  Output one row per
+    document that has >= w words: (doc_id, n_spans, n_dup_spans).
+
+    The reference dedups whole blobs only (assembler.go:196-308); this
+    is the finer-grained layer C4 applies at the three-sentence level.
+
+    Scale shape: the explode is vectorized Arrow (split -> flatten ->
+    strided gather), the per-batch combiner collapses to <= 1 row per
+    (span, doc) BEFORE the exchange, and the bucketed merge resolves
+    the global winner and per-doc duplicate counts inside one
+    vectorized group pass — spans never leave their bucket, payload
+    rows never carry document text.  A second tiny exchange sums the
+    per-doc partials (2 ints per doc)."""
+    from .agg import _bucket_from_keys, grouped_agg
+    num_buckets = resolve_buckets(num_buckets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _span_explode(batch, w, id_col, text_col)
+        agg = agg_by_name(t, ["span", id_col],
+                          [("enc", "min", "min_enc"),
+                           ("enc", "count", "n_occ")])
+        return agg.append_column(
+            "bucket", _bucket_from_keys(agg, ["span"], num_buckets))
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = agg_by_name(group, ["span", id_col],
+                        [("min_enc", "min", "min_enc"),
+                         ("n_occ", "sum", "n_occ")])
+        gmin = agg_by_name(g, ["span"], [("min_enc", "min", "g_min")])
+        # local vectorized winner lookup (all rows of a span share a
+        # bucket, so the group-min IS the global min)
+        pos = pc.index_in(g["span"], value_set=gmin["span"].combine_chunks())
+        is_winner = pc.cast(
+            pc.equal(g["min_enc"],
+                     pc.take(gmin["g_min"].combine_chunks(), pos)),
+            pa.int64())
+        n_occ = pc.cast(g["n_occ"], pa.int64())
+        return pa.table({
+            id_col: g[id_col],
+            "n_spans": n_occ,
+            "n_dup_spans": pc.subtract(n_occ, is_winner),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+    flags = partials.repartition(num_buckets).groupby("bucket") \
+        .map_groups(merge, batch_format="pyarrow")
+    return grouped_agg(flags, [id_col],
+                       [("n_spans", "sum", "n_spans"),
+                        ("n_dup_spans", "sum", "n_dup_spans")])
+
+
 # ------------------------------------------------------------- minhash
 
 def _word_shingles(text: str, k: int = 3) -> set[str]:

@@ -13,7 +13,7 @@ import ray.data as rd
 from guacray.stages.agg import grouped_agg
 from guacray.stages.ann import brute_force_topk, lsh_topk, make_query_vector
 from guacray.stages.dedup import (MinHasher, exact_dedup, minhash_lsh_pairs,
-                                  ngram_jaccard, simhash_pairs)
+                                  ngram_jaccard, simhash_pairs, span_dedup)
 from guacray.stages.quality import LangID, winnow_fingerprints
 
 
@@ -38,6 +38,30 @@ def test_exact_dedup():
     base_row = out[out["doc_id"] == 0].iloc[0]
     assert base_row["n_copies"] == 3
     assert out[out["doc_id"] == 2].iloc[0]["n_copies"] == 1
+
+
+def test_span_dedup_first_wins_census():
+    """C4-style span dedup vs hand-computed truth (w=3): cross-doc
+    dups, within-doc dups (earlier span_idx wins), the < w-word tail
+    (dropped), sub-w docs and empty text (absent from output)."""
+    texts = [
+        "a b c d e f g",    # spans: [a b c][d e f], tail g dropped
+        "a b c x y z",      # [a b c] dups doc0; [x y z] unique
+        "a b c a b c",      # both spans dup doc0's winner
+        "z z",              # < 3 words -> no spans, absent
+        "",                 # absent
+        "p q r p q r",      # within-doc: idx0 wins, idx1 is the dup
+    ]
+    out = span_dedup(_docs(texts), w=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = pd.DataFrame({
+        "doc_id": [0, 1, 2, 5],
+        "n_spans": [2, 2, 2, 2],
+        "n_dup_spans": [0, 1, 2, 1],
+    })
+    pd.testing.assert_frame_equal(
+        out[["doc_id", "n_spans", "n_dup_spans"]], want,
+        check_dtype=False)
 
 
 def test_minhash_estimates_jaccard():
