@@ -382,6 +382,16 @@ def _kg_oracles() -> dict[str, str]:
             WHERE predicate <> 'signed'
             GROUP BY edge_id
         """,
+        # per-host provenance census (SourceInformation rollup); host
+        # extraction parity: RE2 '\\1' replacement == regexp_extract
+        "host_stats": f"""
+            SELECT regexp_extract(url, '://([^/]+)', 1) AS host,
+                   COUNT(DISTINCT document_ref) AS n_pages,
+                   COUNT(*) AS n_triples,
+                   COUNT(DISTINCT edge_id) AS n_distinct_edges,
+                   MIN(warc_ts) AS first_ts
+            FROM read_parquet('{tri}') GROUP BY host
+        """,
         "kg_degree_hist": f"""
             WITH deg AS (
                 SELECT subj_id, COUNT(*) AS degree
@@ -586,6 +596,46 @@ def _kg_degree_hist(sf_dir: str):
     return grouped_agg(deg, ["degree"], [("subj_id", "count", "n_nodes")])
 
 
+def _kg_host_stats(sf_dir: str):
+    """Per-host provenance rollup over the triples checkpoint — the
+    per-collector/source census GUAC's SourceInformation tracks
+    (processor.go:104-111), re-keyed to the web: for every crawl host,
+    how many distinct pages, raw statements, and canonical edges it
+    contributed, and when it was first seen.  Host extraction is one
+    vectorized RE2 kernel; distinct counts are two-phase grouped
+    exchanges; the per-host joins ride the broadcast path (hosts are
+    dimension-sized at any corpus scale)."""
+    import pyarrow.compute as pc
+
+    from guacray.stages.agg import auto_join, grouped_agg
+    tri = _kg_read(sf_dir, "triples")
+
+    def project(t):
+        # extract_regex yields null on no match (the attestation
+        # slice's documents have non-URL refs); fill with '' == DuckDB
+        # regexp_extract's no-match value, so grouping keys agree
+        host = pc.fill_null(pc.struct_field(pc.extract_regex(
+            t["url"], pattern=r"://(?P<host>[^/]+)"), "host"), "")
+        return t.select(["url", "document_ref", "edge_id", "warc_ts"]) \
+            .set_column(0, "host", host)
+    base = tri.map_batches(project, batch_format="pyarrow")
+    stats = grouped_agg(base, ["host"],
+                        [("edge_id", "count", "n_triples"),
+                         ("warc_ts", "min", "first_ts")])
+    pages = grouped_agg(
+        grouped_agg(base, ["host", "document_ref"], []),
+        ["host"], [("document_ref", "count", "n_pages")])
+    edges = grouped_agg(
+        grouped_agg(base, ["host", "edge_id"], []),
+        ["host"], [("edge_id", "count", "n_distinct_edges")])
+    out = auto_join(stats, pages, on="host", right_on="host")
+    out = auto_join(out, edges, on="host", right_on="host")
+    return out.map_batches(
+        lambda t: t.select(["host", "n_pages", "n_triples",
+                            "n_distinct_edges", "first_ts"]),
+        batch_format="pyarrow")
+
+
 def _kg_edge_props(sf_dir: str):
     """Typed-edge-prop rollup: count canonical edges per (predicate,
     props) for prop-carrying edges (version on released, role on
@@ -727,6 +777,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow": R.doc_winnow,
         "doc_repetition": R.doc_repetition,
         "doc_span_dedup": R.doc_span_dedup,
+        "doc_top_words_by_lang": R.doc_top_words_by_lang,
+        "host_stats": _kg_host_stats,
     }
     assert len(window) == DRIVER_WINDOW, (
         f"driver window section has {len(window)} entries, "

@@ -28,7 +28,7 @@ import ray
 import ray.data as rd
 
 from ..functions.rounding import pc_round
-from ..stages.agg import (auto_join, grouped_agg, semi_join,
+from ..stages.agg import (agg_by_name, auto_join, grouped_agg, semi_join,
                           semi_join_filter, topk)
 from ..stages.ann import brute_force_topk, lsh_topk, make_query_vector
 from ..stages.dedup import (exact_dedup, jaccard_pairs, minhash_lsh_pairs,
@@ -778,6 +778,47 @@ def doc_exact_dedup(sf_dir: str):
     return exact_dedup(ds)
 
 
+def doc_top_words_by_lang(sf_dir: str, k: int = 10):
+    """Vocabulary mining: the k most frequent words per language with
+    their rank — the corpus census a tokenizer/BPE training prep needs
+    (SQL-checked against a DuckDB window-rank derivation).
+
+    Shape: vectorized explode + per-batch count combiner, ONE grouped
+    exchange on (lang, word), then a per-block top-k prune (<= k rows
+    per lang leave each block) before the final per-lang selection —
+    the full vocabulary never converges on one node."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "text"])
+
+    def explode_count(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        tbl = pa.table({
+            "lang": pc.take(t["lang"], pc.list_parent_indices(words)),
+            "word": pc.list_flatten(words),
+        })
+        return agg_by_name(tbl, ["lang", "word"],
+                           [("word", "count", "n_occ")])
+
+    counts = grouped_agg(
+        ds.map_batches(explode_count, batch_format="pyarrow"),
+        ["lang", "word"], [("n_occ", "sum", "n_occ")])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # deterministic tie-break: count desc, then word asc
+        df = df.sort_values(["lang", "n_occ", "word"],
+                            ascending=[True, False, True])
+        return df.groupby("lang", sort=False).head(k)
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_occ", "word"],
+                            ascending=[False, True]).head(k).copy()
+        df["rk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["lang", "word", "n_occ", "rk"]]
+
+    pruned = counts.map_batches(local_topk, batch_format="pandas")
+    return pruned.groupby("lang").map_groups(final_topk,
+                                             batch_format="pandas")
+
+
 def doc_span_dedup(sf_dir: str, w: int = 15):
     """C4-style span-level dedup census: per document, how many of its
     non-overlapping 15-word spans duplicate a span seen earlier in the
@@ -1370,6 +1411,22 @@ SQL: dict[str, str] = {
                round(max_gram / CAST(n_grams AS DOUBLE), 4)
                    AS top_gram_frac
         FROM wstats JOIN gstats USING (doc_id)
+    """,
+    # single-space split == the engine's split_pattern(' ') tokenizer;
+    # rank tie-break (count desc, word asc) matches the engine's sort
+    "doc_top_words_by_lang": """
+        WITH words AS (
+            SELECT lang, string_split(text, ' ') AS w FROM documents
+        ), wc AS (
+            SELECT lang, word, COUNT(*) AS n_occ
+            FROM words, LATERAL unnest(w) AS t(word)
+            GROUP BY lang, word
+        ), ranked AS (
+            SELECT lang, word, n_occ,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY n_occ DESC, word) AS rk
+            FROM wc)
+        SELECT lang, word, n_occ, rk FROM ranked WHERE rk <= 10
     """,
     # single-space split == the engine's split_pattern(' ') tokenizer;
     # non-overlapping full 15-word spans (the < w tail is dropped on

@@ -74,6 +74,39 @@ def test_llm_extension_family_inside_driver_window():
     assert not outside, f"LLM-extension rows fell out of the window: {outside}"
 
 
+def test_tail_kg_oracle_parity(monkeypatch):
+    """kg_* entries past the driver window (their oracles live in
+    _kg_oracles, not relational.SQL) keep the same row-count/schema/
+    value-hash parity as the displaced relational rows."""
+    sf_dir_small = "/root/testdata/sf0.001"
+    monkeypatch.setenv("GUACRAY_ORACLE_SF", "sf0.001")
+    import duckdb
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    from check_queries import norm, to_pandas, value_hash
+    from guacray.pipelines.relational import SQL
+
+    mod = _entry_module()
+    q = mod.queries()
+    names = list(q)
+    tail_kg = [n for n in names[DRIVER_WINDOW:]
+               if n in mod._kg_oracles() and n not in SQL]
+    assert tail_kg, "expected tail store-backed oracle-checked queries"
+
+    con = duckdb.connect()
+    failures = []
+    for name in tail_kg:
+        got = norm(to_pandas(q[name](sf_dir_small)))  # builds the store
+        exp = norm(con.execute(mod._kg_oracles()[name]).df())
+        if list(got.columns) != list(exp.columns):
+            failures.append(f"{name}: schema {list(got.columns)} != "
+                            f"{list(exp.columns)}")
+        elif len(got) != len(exp):
+            failures.append(f"{name}: rows {len(got)} != {len(exp)}")
+        elif value_hash(got) != value_hash(exp):
+            failures.append(f"{name}: value-hash mismatch")
+    assert not failures, "\n".join(failures)
+
+
 def test_displaced_oracle_parity():
     sf_dir_small = "/root/testdata/sf0.001"
     """Every SQL-checked query that sits PAST the driver window must
