@@ -778,6 +778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": R.doc_repetition,
         "doc_span_dedup": R.doc_span_dedup,
         "doc_top_words_by_lang": R.doc_top_words_by_lang,
+        "doc_pii_scrub": R.doc_pii_scrub,
         "host_stats": _kg_host_stats,
     }
     assert len(window) == DRIVER_WINDOW, (

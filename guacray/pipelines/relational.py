@@ -778,6 +778,16 @@ def doc_exact_dedup(sf_dir: str):
     return exact_dedup(ds)
 
 
+def doc_pii_scrub(sf_dir: str):
+    """PII redaction census (emails / IPv4 / SSN-shaped ids → typed
+    placeholders) with the scrubbed-text fingerprint — SQL-checked
+    end-to-end (the oracle is GENERATED from the same pattern table,
+    so engine and SQL can never disagree silently)."""
+    from ..stages.quality import pii_scrub
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return pii_scrub(ds)
+
+
 def doc_top_words_by_lang(sf_dir: str, k: int = 10):
     """Vocabulary mining: the k most frequent words per language with
     their rank — the corpus census a tokenizer/BPE training prep needs
@@ -1548,3 +1558,29 @@ SQL: dict[str, str] = {
         GROUP BY label, i.i
     """,
 }
+
+
+def _pii_scrub_sql() -> str:
+    """Generated FROM stages.quality.PII_PATTERNS so the oracle can
+    never drift from the engine's patterns or staging order (each
+    pattern's count is taken over text already scrubbed by the earlier
+    ones).  DuckDB single-quoted strings keep backslashes literal, so
+    the RE2 patterns pass through unescaped."""
+    from ..stages.quality import PII_PATTERNS
+    ctes = ["s0 AS (SELECT doc_id, text AS t0 FROM documents)"]
+    carried: list[str] = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        keep = ", ".join(["doc_id"] + carried)
+        ctes.append(
+            f"s{i + 1} AS (SELECT {keep}, "
+            f"len(regexp_extract_all(t{i}, '{pat}')) AS n_{name}, "
+            f"regexp_replace(t{i}, '{pat}', '{repl}', 'g') AS t{i + 1} "
+            f"FROM s{i})")
+        carried.append(f"n_{name}")
+    names = ", ".join(carried)
+    n = len(PII_PATTERNS)
+    return (f"WITH {', '.join(ctes)} SELECT doc_id, {names}, "
+            f"md5(t{n}) AS scrubbed_fp FROM s{n}")
+
+
+SQL["doc_pii_scrub"] = _pii_scrub_sql()

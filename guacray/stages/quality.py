@@ -175,6 +175,43 @@ def repetition_metrics_batch(batch: pa.Table, k: int = 2) -> pa.Table:
 
 # ------------------------------------------------------- fingerprints
 
+# PII scrub patterns, applied IN ORDER (counts for a later pattern are
+# taken over text already scrubbed by the earlier ones — the SQL oracle
+# mirrors the same staging).  RE2 on both engines, so \b/\d agree.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("id", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+)
+
+
+def pii_scrub(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """PII redaction census — the corpus-release scrubbing pass
+    (emails, IPv4 addresses, SSN-shaped ids → typed placeholders).
+
+    Output per document: match count per pattern plus md5 of the fully
+    scrubbed text (the release-artifact fingerprint; equal to md5(text)
+    for clean documents, so the oracle checks the whole transform on
+    any corpus).  Stateless row-local vectorized RE2 kernels — one
+    streaming pass, no shuffle, trivially 100 TB-safe."""
+    import hashlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        scrubbed = batch[text_col].combine_chunks()
+        cols: dict = {id_col: batch[id_col]}
+        for name, pat, repl in PII_PATTERNS:
+            cols[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(scrubbed, pattern=pat), pa.int64())
+            scrubbed = pc.replace_substring_regex(
+                scrubbed, pattern=pat, replacement=repl)
+        cols["scrubbed_fp"] = pa.array(
+            [hashlib.md5(t.encode()).hexdigest()
+             for t in scrubbed.to_pylist()], type=pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def norm_fingerprint(ds):
     """Canonical-text fingerprint: md5(lower(ws-collapsed text)).
     Groups documents that differ only in case/whitespace.

@@ -64,6 +64,48 @@ def test_span_dedup_first_wins_census():
         check_dtype=False)
 
 
+def test_pii_scrub_counts_and_oracle_parity():
+    """pii_scrub on PII-BEARING text (the sf fixtures are clean, so the
+    positive cases live here): per-pattern counts, staged redaction
+    (later patterns see earlier scrubs), and value parity against the
+    generated DuckDB oracle on the same rows."""
+    import duckdb
+    import hashlib
+
+    from guacray.pipelines.relational import _pii_scrub_sql
+    from guacray.stages.quality import pii_scrub
+    texts = [
+        "contact alice@example.com or bob.smith+x@mail.co today",
+        "server 10.0.0.1 and 192.168.1.255 are up",
+        "ssn 123-45-6789 leaked; also 999-99-9999",
+        "mixed a@b.io from 8.8.8.8 ssn 000-11-2222",
+        "clean document with no sensitive tokens at all",
+        "",
+    ]
+    got = pii_scrub(_docs(texts)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["n_email"].tolist() == [2, 0, 0, 1, 0, 0]
+    assert got["n_ipv4"].tolist() == [0, 2, 0, 1, 0, 0]
+    assert got["n_id"].tolist() == [0, 0, 2, 1, 0, 0]
+    # staged scrub: doc 3 fingerprint == md5 of the fully redacted text
+    want_fp = hashlib.md5(
+        b"mixed <EMAIL> from <IP> ssn <ID>").hexdigest()
+    assert got.loc[3, "scrubbed_fp"] == want_fp
+    # clean doc: fingerprint equals md5(text) untouched
+    assert got.loc[4, "scrubbed_fp"] == hashlib.md5(texts[4].encode()) \
+        .hexdigest()
+
+    con = duckdb.connect()
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    con.register("documents", df)
+    exp = con.execute(_pii_scrub_sql()).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "n_email", "n_ipv4", "n_id", "scrubbed_fp"]],
+        exp[["doc_id", "n_email", "n_ipv4", "n_id", "scrubbed_fp"]],
+        check_dtype=False)
+
+
 def test_minhash_estimates_jaccard():
     mh = MinHasher(num_perm=128)
     sa, sb = mh.signature(BASE), mh.signature(NEAR)
