@@ -382,6 +382,14 @@ def _kg_oracles() -> dict[str, str]:
             WHERE predicate <> 'signed'
             GROUP BY edge_id
         """,
+        # temporal rollup: date_trunc in a UTC session == the engine's
+        # floor_temporal on the tz-aware warc_ts column
+        "edge_timeline": f"""
+            SELECT predicate, date_trunc('day', warc_ts) AS day,
+                   COUNT(*) AS n_statements,
+                   COUNT(DISTINCT edge_id) AS n_distinct_edges
+            FROM read_parquet('{tri}') GROUP BY predicate, day
+        """,
         # per-host provenance census (SourceInformation rollup); host
         # extraction parity: RE2 '\\1' replacement == regexp_extract
         "host_stats": f"""
@@ -636,6 +644,43 @@ def _kg_host_stats(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _kg_edge_timeline(sf_dir: str):
+    """Temporal analytics over the triples checkpoint: per (predicate,
+    crawl day) statement volume and distinct-edge counts — the
+    knownSince/lastScan time-metadata query shape, re-keyed to crawl
+    timestamps.  floor_temporal(day) == DuckDB date_trunc('day') in a
+    UTC session; the distinct count is the standard two-phase distinct
+    exchange, the volume count one grouped combiner pass."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from guacray.stages.agg import auto_join, grouped_agg
+    tri = _kg_read(sf_dir, "triples")
+
+    def project(t):
+        return t.select(["predicate", "warc_ts", "edge_id"]).set_column(
+            1, "day", pc.floor_temporal(t["warc_ts"], unit="day"))
+    base = tri.map_batches(project, batch_format="pyarrow")
+    vol = grouped_agg(base, ["predicate", "day"],
+                      [("edge_id", "count", "n_statements")])
+    dist = grouped_agg(
+        grouped_agg(base, ["predicate", "day", "edge_id"], []),
+        ["predicate", "day"], [("edge_id", "count", "n_distinct_edges")])
+
+    def key(t):
+        return t.append_column("pd_key", pc.binary_join_element_wise(
+            t["predicate"], pc.cast(t["day"], pa.string()), "\x1f"))
+    vol = vol.map_batches(key, batch_format="pyarrow")
+    dist = dist.map_batches(
+        lambda t: key(t).drop_columns(["predicate", "day"]),
+        batch_format="pyarrow")
+    out = auto_join(vol, dist, on="pd_key", right_on="pd_key")
+    return out.map_batches(
+        lambda t: t.select(["predicate", "day", "n_statements",
+                            "n_distinct_edges"]),
+        batch_format="pyarrow")
+
+
 def _kg_edge_props(sf_dir: str):
     """Typed-edge-prop rollup: count canonical edges per (predicate,
     props) for prop-carrying edges (version on released, role on
@@ -780,6 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_words_by_lang": R.doc_top_words_by_lang,
         "doc_pii_scrub": R.doc_pii_scrub,
         "host_stats": _kg_host_stats,
+        "edge_timeline": _kg_edge_timeline,
     }
     assert len(window) == DRIVER_WINDOW, (
         f"driver window section has {len(window)} entries, "
