@@ -257,6 +257,60 @@ def _kg_affected_versions(sf_dir: str):
     return _kg_store(sf_dir).nodes_in_version_range(">=2.0 <6.0")
 
 
+def _pagerank_sql(nod: str, edg: str, iters: int = 3,
+                  damping: float = 0.85) -> str:
+    """Unrolled damped power iteration — one CTE per iteration, each
+    the exact SQL transliteration of one loop body in
+    stages/pagerank.pagerank (undirected rows expand to both
+    orientations, dangling mass redistributed uniformly)."""
+    steps = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        steps.append(f"""
+            r{i} AS (
+                SELECT r.node_id, r.outdeg,
+                       (1 - {damping})/nn.n
+                       + {damping} * (COALESCE(c.contrib, 0)
+                                      + dang.mass/nn.n) AS rank
+                FROM r{p} r
+                CROSS JOIN nn
+                CROSS JOIN (SELECT COALESCE(SUM(rank), 0) AS mass
+                            FROM r{p} WHERE outdeg = 0) dang
+                LEFT JOIN (SELECT e.dst,
+                                  SUM(p.rank / p.outdeg) AS contrib
+                           FROM E e JOIN r{p} p ON e.src = p.node_id
+                           WHERE p.outdeg > 0 GROUP BY e.dst) c
+                  ON r.node_id = c.dst)""")
+    return f"""
+        WITH E AS (
+            SELECT subj_id AS src, obj_id AS dst
+            FROM read_parquet('{edg}')
+            UNION ALL
+            SELECT obj_id, subj_id
+            FROM read_parquet('{edg}') WHERE undirected),
+        nn AS (SELECT COUNT(*) AS n FROM read_parquet('{nod}')),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM E GROUP BY src),
+        r0 AS (
+            SELECT node_id, COALESCE(d.outdeg, 0) AS outdeg,
+                   1.0/nn.n AS rank
+            FROM read_parquet('{nod}')
+            LEFT JOIN deg d ON node_id = d.src
+            CROSS JOIN nn),
+        {",".join(steps)}
+        SELECT node_id, rank FROM r{iters}
+    """
+
+
+def _graph_pagerank(sf_dir: str):
+    """Global-influence ranking over the canonical graph: 3 damped
+    power iterations (stages/pagerank.py) — the dependents-ranking
+    family's (dependents.go:49-183) spectral sibling.  SQL-checked
+    value-for-value against the unrolled-CTE DuckDB transliteration
+    over the same materialized nodes/edges parquet."""
+    from guacray.stages.pagerank import pagerank
+    return pagerank(_kg_read(sf_dir, "nodes"), _kg_read(sf_dir, "edges"))
+
+
 def _kg_oracles() -> dict[str, str]:
     """DuckDB oracles for the KG query surface.
 
@@ -390,6 +444,10 @@ def _kg_oracles() -> dict[str, str]:
                    COUNT(DISTINCT edge_id) AS n_distinct_edges
             FROM read_parquet('{tri}') GROUP BY predicate, day
         """,
+        # damped power iteration, unrolled to the same fixed iteration
+        # count as stages/pagerank.py; float parity is robust at the
+        # harness's %.6g because both sides sum float64 contributions
+        "graph_pagerank": _pagerank_sql(nod, edg),
         # per-host provenance census (SourceInformation rollup); host
         # extraction parity: RE2 '\\1' replacement == regexp_extract
         "host_stats": f"""
@@ -826,6 +884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_scrub": R.doc_pii_scrub,
         "host_stats": _kg_host_stats,
         "edge_timeline": _kg_edge_timeline,
+        "graph_pagerank": _graph_pagerank,
     }
     assert len(window) == DRIVER_WINDOW, (
         f"driver window section has {len(window)} entries, "

@@ -204,6 +204,23 @@ def left_lookup_join(left, right, *, on: str, right_on: str,
     import ray
     right = right.materialize()
     n_right = right.count()
+    if n_right == 0:
+        # an empty lookup side collects to a column-less DataFrame, so
+        # the merge path can't run; stamp the fallback directly (typed
+        # from the right schema when the empty execution preserved one)
+        sch = right.schema(fetch_if_missing=False)
+        vtype = (sch.base_schema.field(value_col).type
+                 if sch is not None and value_col in sch.names else None)
+
+        def stamp(t: pa.Table) -> pa.Table:
+            if default_from is not None:
+                val = t[default_from]
+            elif vtype is not None:
+                val = pa.nulls(len(t), vtype)
+            else:
+                val = pa.nulls(len(t))
+            return t.append_column(out, val)
+        return left.map_batches(stamp, batch_format="pyarrow")
     if n_right <= broadcast_threshold:
         import pandas as pd
         small = right.to_pandas()[[right_on, value_col]].rename(

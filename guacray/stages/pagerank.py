@@ -1,0 +1,112 @@
+"""Distributed PageRank over the canonical edge table.
+
+Extends the reference's dependents-ranking analytics family
+(/root/reference/pkg/guacanalytics/dependents.go:49-183 ranks packages
+by transitive dependent count) with the standard damped power
+iteration — the global-influence score a degree count can't give.
+
+Semantics (shared exactly with the DuckDB oracle in __ray_entry__):
+
+- edge universe: every canonical edge row contributes subj_id→obj_id;
+  ``undirected`` rows contribute BOTH directions (multigraph: parallel
+  edges across predicates each count).
+- node universe: the nodes table (isolated nodes hold rank too).
+- ``r0(v) = 1/N``; each iteration
+  ``r(v) = (1-d)/N + d * (Σ_{(u,v)∈E} r(u)/outdeg(u) + D/N)``
+  where ``D`` is the total rank mass on dangling nodes (outdeg 0),
+  redistributed uniformly (the standard stochastic-matrix fix).
+
+Execution model: iterative dataset algebra.  The rank table is
+O(nodes) and is ``materialize()``d once per iteration — required, not
+a smell: each iteration's scalar dangling-mass aggregate and the next
+iteration's join both consume it, and without pinning, Ray's lazy
+lineage would re-execute the whole prefix per consumer and grow
+multiplicatively with ``iters``.  Blocks stay in the (spillable)
+object store, sharded across the cluster; nothing O(nodes) reaches
+the driver.  Per iteration: one size-aware join (broadcast below
+threshold, hash-partitioned above — ``auto_join``), one grouped sum,
+one O(1)-result filter-sum.  A 100 TB deployment would pre-bucket
+edges and ranks by hash(node) once and reuse the co-partitioning
+across iterations; with Ray Data's hash join each iteration
+re-shuffles the rank side — documented trade for staying inside the
+Dataset API.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .agg import auto_join, grouped_agg, left_lookup_join
+
+
+def _expand(t: pa.Table) -> pa.Table:
+    """Edge rows → directed (src, dst) pairs; undirected rows emit
+    both orientations."""
+    fwd = pa.table({"src": t["subj_id"], "dst": t["obj_id"]})
+    rev = t.filter(pc.fill_null(t["undirected"], False))
+    rev = pa.table({"src": rev["obj_id"], "dst": rev["subj_id"]})
+    return pa.concat_tables([fwd, rev])
+
+
+def pagerank(nodes, edges, *, iters: int = 3, damping: float = 0.85):
+    """PageRank after ``iters`` damped power iterations.
+
+    ``nodes``/``edges``: Datasets with the canonical graph schemas
+    (node_id; subj_id/obj_id/undirected).  Returns a Dataset with
+    columns (node_id, rank); ranks sum to 1 up to float error.
+    """
+    n = nodes.count()
+    if n == 0:
+        import ray.data as rd
+        return rd.from_arrow(
+            pa.table({"node_id": pa.array([], pa.string()),
+                      "rank": pa.array([], pa.float64())}))
+
+    ed = edges.map_batches(_expand, batch_format="pyarrow").materialize()
+    deg = grouped_agg(ed, "src", [("dst", "count", "outdeg")])
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node_id": t["node_id"],
+            "outdeg": pc.fill_null(pc.cast(t["outdeg"], pa.int64()), 0),
+            "rank": pa.array(np.full(len(t), 1.0 / n), pa.float64())})
+    ranks = left_lookup_join(
+        nodes.select_columns(["node_id"]), deg,
+        on="node_id", right_on="src", value_col="outdeg", out="outdeg",
+    ).map_batches(init, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        dangling = ranks.map_batches(
+            lambda t: t.filter(pc.equal(t["outdeg"], 0)).select(["rank"]),
+            batch_format="pyarrow").sum("rank") or 0.0
+        shares = ranks.map_batches(
+            lambda t: pa.table({
+                "node_id": t["node_id"],
+                "share": pc.divide(
+                    t["rank"], pc.cast(t["outdeg"], pa.float64()))}
+            ).filter(pc.greater(t["outdeg"], 0)),
+            batch_format="pyarrow")
+        contrib = grouped_agg(
+            auto_join(ed, shares, on="src", right_on="node_id"),
+            "dst", [("share", "sum", "contrib")])
+        base = (1.0 - damping) / n + damping * dangling / n
+
+        def apply(t: pa.Table, base=base) -> pa.Table:
+            return pa.table({
+                "node_id": t["node_id"],
+                "outdeg": t["outdeg"],
+                "rank": pc.add(
+                    pa.scalar(base, pa.float64()),
+                    pc.multiply(
+                        pa.scalar(damping, pa.float64()),
+                        pc.fill_null(pc.cast(t["contrib"], pa.float64()),
+                                     0.0)))})
+        ranks = left_lookup_join(
+            ranks.drop_columns(["rank"]), contrib,
+            on="node_id", right_on="dst",
+            value_col="contrib", out="contrib",
+        ).map_batches(apply, batch_format="pyarrow").materialize()
+
+    return ranks.drop_columns(["outdeg"])

@@ -1,0 +1,71 @@
+"""PageRank power iteration vs an in-memory numpy reference
+(the spectral sibling of dependents.go:49-183's degree ranking)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from guacray.stages.pagerank import pagerank
+
+
+def _graph(n_nodes, edges):
+    """edges: list of (src_idx, dst_idx, undirected)."""
+    nodes = pa.table({"node_id": [f"n{i:02d}" for i in range(n_nodes)]})
+    et = pa.table({
+        "subj_id": [f"n{s:02d}" for s, _, _ in edges],
+        "obj_id": [f"n{d:02d}" for _, d, _ in edges],
+        "undirected": [u for _, _, u in edges]})
+    return nodes, et
+
+
+def _numpy_pr(n, edges, iters=3, d=0.85):
+    src, dst = [], []
+    for s, o, u in edges:
+        src.append(s), dst.append(o)
+        if u:
+            src.append(o), dst.append(s)
+    src, dst = np.array(src, int), np.array(dst, int)
+    outdeg = np.bincount(src, minlength=n)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dang = r[outdeg == 0].sum()
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, r[src] / outdeg[src])
+        r = (1 - d) / n + d * (contrib + dang / n)
+    return r
+
+
+@pytest.mark.parametrize("iters", [1, 3])
+def test_pagerank_vs_numpy(ray_session, iters):
+    # hub, chain, a dangling sink, an undirected pair (both directions),
+    # a parallel multi-edge, and two isolated nodes (8, 9)
+    edges = [(0, 1, False), (0, 2, False), (0, 3, False),
+             (1, 2, False), (2, 3, False), (3, 4, False),
+             (5, 6, True), (0, 1, False), (7, 0, False)]
+    nodes, et = _graph(10, edges)
+    got = pagerank(rd.from_arrow(nodes), rd.from_arrow(et),
+                   iters=iters).to_pandas().set_index("node_id")["rank"]
+    ref = _numpy_pr(10, edges, iters=iters)
+    assert len(got) == 10
+    for i in range(10):
+        assert got[f"n{i:02d}"] == pytest.approx(ref[i], abs=1e-12)
+    # total mass conserved
+    assert got.sum() == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_all_dangling(ray_session):
+    # no edges at all: every iteration redistributes uniformly, so the
+    # rank stays exactly 1/N
+    nodes, et = _graph(4, [])
+    got = pagerank(rd.from_arrow(nodes), rd.from_arrow(et)).to_pandas()
+    assert sorted(got["rank"]) == pytest.approx([0.25] * 4)
+
+
+def test_pagerank_empty_graph(ray_session):
+    nodes, et = _graph(0, [])
+    got = pagerank(rd.from_arrow(nodes), rd.from_arrow(et))
+    assert got.count() == 0
+    # to_pandas() drops columns on zero-row datasets; the schema is the
+    # contract surface
+    assert set(got.schema().names) == {"node_id", "rank"}
