@@ -885,6 +885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats": _kg_host_stats,
         "edge_timeline": _kg_edge_timeline,
         "graph_pagerank": _graph_pagerank,
+        "doc_tfidf_topk": R.doc_tfidf_topk,
     }
     assert len(window) == DRIVER_WINDOW, (
         f"driver window section has {len(window)} entries, "

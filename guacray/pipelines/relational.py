@@ -829,6 +829,15 @@ def doc_top_words_by_lang(sf_dir: str, k: int = 10):
                                              batch_format="pandas")
 
 
+def doc_tfidf_topk(sf_dir: str, k: int = 5):
+    """Per-document top-k keywords by tf·idf (stages/quality.tfidf_topk)
+    — SQL-checked value-for-value against a DuckDB window-rank
+    derivation over the same split-on-space tokenization."""
+    from ..stages.quality import tfidf_topk
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return tfidf_topk(ds, k=k)
+
+
 def doc_span_dedup(sf_dir: str, w: int = 15):
     """C4-style span-level dedup census: per document, how many of its
     non-overlapping 15-word spans duplicate a span seen earlier in the
@@ -1437,6 +1446,30 @@ SQL: dict[str, str] = {
                                       ORDER BY n_occ DESC, word) AS rk
             FROM wc)
         SELECT lang, word, n_occ, rk FROM ranked WHERE rk <= 10
+    """,
+    # tf needs no grouping across docs (one row per doc); idf doubles
+    # are bit-equal to the engine's (same integer tf/df/N inputs, same
+    # libm ln), so the (score DESC, word) window rank orders identically
+    "doc_tfidf_topk": """
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), tf AS (
+            SELECT doc_id, word, COUNT(*) AS tf
+            FROM words, LATERAL unnest(w) AS t(word)
+            GROUP BY doc_id, word
+        ), df AS (
+            SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+        ), nn AS (
+            SELECT COUNT(*) AS n FROM documents
+        ), ranked AS (
+            SELECT tf.doc_id, tf.word,
+                   tf.tf * ln(CAST(nn.n AS DOUBLE) / df.df) AS score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ln(CAST(nn.n AS DOUBLE) / df.df)
+                                    DESC, tf.word) AS rk
+            FROM tf JOIN df USING (word) CROSS JOIN nn)
+        SELECT doc_id, word, score, rk FROM ranked WHERE rk <= 5
     """,
     # single-space split == the engine's split_pattern(' ') tokenizer;
     # non-overlapping full 15-word spans (the < w tail is dropped on

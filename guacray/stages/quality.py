@@ -243,6 +243,69 @@ def norm_fingerprint(ds):
              .groupby("bucket").map_groups(merge, batch_format="pyarrow")
 
 
+def tfidf_topk(ds, *, k: int = 5):
+    """Per-document top-k terms by tf·idf (idf = ln(N/df)) — the
+    relevance-weighted sibling of the raw vocabulary census, the
+    keyword-extraction primitive an LLM curation pass reaches for.
+
+    Shape: term frequency needs NO exchange (a document is one row, so
+    a per-batch (doc_id, word) group-count is already complete);
+    document frequency is ONE grouped exchange over the tf table; the
+    idf stamp is a size-aware join (broadcast under the threshold,
+    hash-partitioned above — the vocabulary is the small side only at
+    small corpora); the final per-doc selection is the standard
+    two-stage top-k (per-block prune to ≤k rows per doc, then one
+    grouped exchange on doc_id).  The tf table is materialized once —
+    it feeds both the df derivation and the scoring join.
+
+    Float parity with the DuckDB oracle: both sides compute
+    ``tf * ln(double(N)/double(df))`` on identical integers, so the
+    doubles are bit-equal and the (score DESC, word ASC) tiebreak
+    orders identically.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .agg import agg_by_name, auto_join, grouped_agg
+
+    n_docs = ds.count()
+
+    def explode_tf(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        tbl = pa.table({
+            "doc_id": pc.take(t["doc_id"], pc.list_parent_indices(words)),
+            "word": pc.list_flatten(words)})
+        return agg_by_name(tbl, ["doc_id", "word"],
+                           [("word", "count", "tf")])
+
+    tf = ds.map_batches(explode_tf, batch_format="pyarrow").materialize()
+    df = grouped_agg(tf, "word", [("doc_id", "count", "df")])
+    scored = auto_join(tf, df, on="word", right_on="word")
+
+    def score(t: pa.Table) -> pa.Table:
+        idf = pc.ln(pc.divide(pa.scalar(float(n_docs), pa.float64()),
+                              pc.cast(t["df"], pa.float64())))
+        return pa.table({
+            "doc_id": t["doc_id"], "word": t["word"],
+            "score": pc.multiply(pc.cast(t["tf"], pa.float64()), idf)})
+
+    def local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["doc_id", "score", "word"],
+                              ascending=[True, False, True])
+        return pdf.groupby("doc_id", sort=False).head(k)
+
+    def final_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["score", "word"],
+                              ascending=[False, True]).head(k).copy()
+        pdf["rk"] = np.arange(1, len(pdf) + 1, dtype=np.int64)
+        return pdf[["doc_id", "word", "score", "rk"]]
+
+    pruned = scored.map_batches(score, batch_format="pyarrow") \
+                   .map_batches(local_topk, batch_format="pandas")
+    return pruned.groupby("doc_id").map_groups(final_topk,
+                                               batch_format="pandas")
+
+
 def winnow_fingerprints(ds, k: int = 5, window: int = 4):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD 2003): rolling hash over char k-grams, per-window minimum.

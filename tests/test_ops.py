@@ -963,3 +963,32 @@ def test_left_lookup_join_paths_agree():
         pairs = {(int(v), None if pd.isna(l) else l)
                  for v, l in zip(got["v"], got["lab"])}
         assert pairs == want, thr
+
+
+def test_tfidf_topk_hand_corpus():
+    from guacray.stages.quality import tfidf_topk
+    # 3 docs: "cat" appears in all (idf=0), "dog" in two, "fox" in one
+    ds = _docs(["cat cat dog", "cat dog dog fox", "cat"])
+    got = tfidf_topk(ds, k=2).to_pandas()
+    n = 3.0
+    # math.log (libm), NOT np.log: numpy's SIMD log is an ULP off libm
+    # for some inputs (np.log(3.0) ends ...96, libm/Arrow/DuckDB ...98);
+    # the engine uses Arrow's ln, which matches libm and DuckDB exactly
+    import math
+    exp = {
+        # doc 0: dog tf=1 idf=ln(3/2); cat tf=2 idf=0 -> score 0
+        (0, "dog"): 1 * math.log(n / 2), (0, "cat"): 0.0,
+        # doc 1: dog tf=2; fox tf=1 idf=ln(3/1)
+        (1, "dog"): 2 * math.log(n / 2), (1, "fox"): 1 * math.log(n / 1),
+        # doc 2: only cat
+        (2, "cat"): 0.0,
+    }
+    assert len(got) == len(exp)
+    for (_, r) in got.iterrows():
+        assert exp[(r["doc_id"], r["word"])] == r["score"]
+    # ranks: per doc, descending score with word tiebreak
+    rk = {(r["doc_id"], r["word"]): r["rk"] for _, r in got.iterrows()}
+    assert rk[(0, "dog")] == 1 and rk[(0, "cat")] == 2
+    # fox: 1*ln(3) ~ 1.099 beats dog: 2*ln(1.5) ~ 0.811
+    assert rk[(1, "fox")] == 1 and rk[(1, "dog")] == 2
+    assert rk[(2, "cat")] == 1
