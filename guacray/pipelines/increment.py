@@ -49,6 +49,7 @@ import shutil
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+import ray
 import ray.data as rd
 
 from .. import schemas
@@ -402,4 +403,64 @@ def merge_delta_tables(out_dir: str, d_nodes, d_edges,
                                         batch_format="pyarrow")
         _swap_table(d, merged, touched, new_ledger, cols)
         stats[f"touched_{name}_buckets"] = len(touched)
+    return stats
+
+
+@ray.remote
+def _compact_bucket(files: list[str], dst: str, sort_col: str) -> None:
+    t = pa.concat_tables([pq.read_table(f) for f in files],
+                         promote_options="default")
+    t = t.sort_by(sort_col)
+    pq.write_table(t, dst)
+
+
+def compact_store(out_dir: str, tables=("nodes", "edges")) -> dict:
+    """Bucket-file compaction — the maintenance pass an incremental
+    store needs at scale: every merged-touched-bucket write emits one
+    file per (block × increment), so a bucket accumulates small files
+    over daily crawls and read amplification grows.  Rewrites each
+    bucket partition holding more than one parquet file as ONE file
+    (rows sorted by the table's id column — deterministic bytes),
+    HARDLINKS already-single-file buckets (inode-stable, never read),
+    preserves the applied-increments ledger verbatim, and publishes
+    with the same atomic dir swap as ingest (crash before the swap
+    leaves the live table untouched).  Query results are unchanged:
+    readers never rely on intra-bucket row order.
+
+    Raw Ray tasks rather than a Dataset (the documented last-resort
+    tier): the unit of work is "one bucket dir → exactly one file", a
+    per-partition file-layout invariant the Dataset write path cannot
+    pin without a full shuffle.  Only file PATHS cross the driver;
+    bucket data stays in the tasks.  A no-op table (all buckets
+    already single-file) is left byte-for-byte alone — no swap.
+    """
+    stats = {}
+    for name in tables:
+        d = os.path.join(out_dir, name)
+        ledger = _read_ledger(d)
+        per_bucket = {b: _bucket_files(d, b) for b in _live_buckets(d)}
+        multi = {b: fs for b, fs in per_bucket.items() if len(fs) > 1}
+        if not multi:
+            stats[f"compacted_{name}_buckets"] = 0
+            continue
+        tmp = d.rstrip("/") + ".__tmp__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        refs = []
+        for b, fs in sorted(multi.items()):
+            bd = os.path.join(tmp, f"bucket={b}")
+            os.makedirs(bd, exist_ok=True)
+            refs.append(_compact_bucket.remote(
+                fs, os.path.join(bd, "compact-0.parquet"),
+                f"{name[:-1]}_id"))
+        for b in sorted(set(per_bucket) - set(multi)):
+            src, dst = (os.path.join(x, f"bucket={b}")
+                        for x in (d, tmp))
+            os.makedirs(dst, exist_ok=True)
+            for f in os.listdir(src):
+                os.link(os.path.join(src, f), os.path.join(dst, f))
+        ray.get(refs)
+        with open(_ledger_path(tmp), "w") as f:
+            json.dump(ledger, f)
+        _commit_dir(tmp, d)
+        stats[f"compacted_{name}_buckets"] = len(multi)
     return stats

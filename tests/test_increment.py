@@ -292,3 +292,73 @@ def test_delete_on_incremental_store(tmp_path):
     assert not inc["skipped"]
     assert table_counts(store)["edges"] == len(
         read_graph_table(store, "edges").to_pandas())
+
+
+def test_compact_store(tmp_path):
+    """Compaction: multi-file buckets collapse to one file, reads are
+    unchanged, single-file buckets keep their inodes (hardlinked, never
+    read), the ledger survives verbatim, and a second pass is a no-op
+    (no swap at all — inodes stable)."""
+    import json
+
+    from guacray.pipelines.increment import compact_store
+
+    p = _split_pages(tmp_path)
+    store = str(tmp_path / "store")
+    init_incremental(p["a"], store, num_buckets=32)
+    ingest_increment(p["b"], store)
+
+    def bucket_files(table):
+        d = os.path.join(store, table)
+        out = {}
+        for b in os.listdir(d):
+            if b.startswith("bucket="):
+                bd = os.path.join(d, b)
+                out[b] = sorted(f for f in os.listdir(bd)
+                                if f.endswith(".parquet"))
+        return out
+
+    # fabricate the at-scale state: split one bucket's file in two
+    # (distributed merges emit one file per block x increment)
+    nd = os.path.join(store, "nodes")
+    victim = sorted(bucket_files("nodes"))[0]
+    vdir = os.path.join(nd, victim)
+    f0 = os.path.join(vdir, sorted(os.listdir(vdir))[0])
+    t = pq.read_table(f0)
+    assert len(t) >= 2, "fixture bucket too small to split"
+    pq.write_table(t.slice(0, 1), f0 + ".half1.parquet")
+    pq.write_table(t.slice(1), f0 + ".half2.parquet")
+    os.remove(f0)
+
+    before = {n: _table_df(read_graph_table(store, n), k)
+              for n, k in (("nodes", "node_id"), ("edges", "edge_id"))}
+    ledger_before = json.load(
+        open(os.path.join(nd, "_applied.json")))
+    untouched_inodes = {
+        b: os.stat(os.path.join(nd, b, fs[0])).st_ino
+        for b, fs in bucket_files("nodes").items()
+        if b != victim and len(fs) == 1}
+
+    r = compact_store(store)
+    assert r["compacted_nodes_buckets"] == 1
+
+    after_files = bucket_files("nodes")
+    assert all(len(fs) == 1 for fs in after_files.values())
+    for n in ("nodes", "edges"):
+        key = "node_id" if n == "nodes" else "edge_id"
+        pd.testing.assert_frame_equal(
+            _table_df(read_graph_table(store, n), key), before[n])
+    assert json.load(
+        open(os.path.join(nd, "_applied.json"))) == ledger_before
+    for b, ino in untouched_inodes.items():
+        assert os.stat(
+            os.path.join(nd, b, after_files[b][0])).st_ino == ino, b
+
+    # idempotent second pass: nothing multi-file left -> no swap
+    inode_compacted = os.stat(
+        os.path.join(nd, victim, after_files[victim][0])).st_ino
+    r2 = compact_store(store)
+    assert r2 == {"compacted_nodes_buckets": 0,
+                  "compacted_edges_buckets": 0}
+    assert os.stat(os.path.join(
+        nd, victim, after_files[victim][0])).st_ino == inode_compacted
