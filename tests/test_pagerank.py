@@ -69,3 +69,19 @@ def test_pagerank_empty_graph(ray_session):
     # to_pandas() drops columns on zero-row datasets; the schema is the
     # contract surface
     assert set(got.schema().names) == {"node_id", "rank"}
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pagerank_random_graph_vs_numpy(ray_session, seed):
+    rng = np.random.RandomState(seed)
+    n = 40
+    m = 120
+    edges = [(int(rng.randint(n)), int(rng.randint(n)),
+              bool(rng.rand() < 0.2)) for _ in range(m)]
+    nodes, et = _graph(n, edges)
+    got = pagerank(rd.from_arrow(nodes), rd.from_arrow(et),
+                   iters=3).to_pandas().set_index("node_id")["rank"]
+    ref = _numpy_pr(n, edges, iters=3)
+    assert len(got) == n
+    for i in range(n):
+        assert got[f"n{i:02d}"] == pytest.approx(ref[i], abs=1e-12)
