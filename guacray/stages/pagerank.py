@@ -50,14 +50,63 @@ def _expand(t: pa.Table) -> pa.Table:
     return pa.concat_tables([fwd, rev])
 
 
-def pagerank(nodes, edges, *, iters: int = 3, damping: float = 0.85):
+def _pagerank_driver(nodes, edges, iters: int, damping: float):
+    """Driver-resident exact path: below ``driver_limit`` the whole
+    graph fits one process, and the dataset path's ~4 s/iteration of
+    executor fix-cost (materialize + scalar aggregate + join + grouped
+    sum, each its own streaming execution) dwarfs the compute — the
+    same size dispatch as the hybrid BFS (query/graph.py).  Bit-level
+    float-sum order differs from the distributed grouped sums (both
+    well inside the harness's %.6g)."""
+    import pandas as pd
+    import ray.data as rd
+
+    ids = np.sort(nodes.select_columns(["node_id"])
+                  .to_pandas()["node_id"].to_numpy())
+    idx = pd.Index(ids)
+    e = edges.select_columns(
+        ["subj_id", "obj_id", "undirected"]).to_pandas()
+    if len(e) == 0:
+        # zero-row to_pandas() drops columns entirely
+        src = dst = np.array([], dtype=np.int64)
+    else:
+        s = idx.get_indexer(e["subj_id"])
+        o = idx.get_indexer(e["obj_id"])
+        assert (s >= 0).all() and (o >= 0).all(), \
+            "edge endpoint missing from nodes table"
+        und = e["undirected"].fillna(False).to_numpy(bool)
+        src = np.concatenate([s, o[und]])
+        dst = np.concatenate([o, s[und]])
+    n = len(ids)
+    outdeg = np.bincount(src, minlength=n)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dang = r[outdeg == 0].sum()
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, r[src] / outdeg[src])
+        r = (1 - damping) / n + damping * (contrib + dang / n)
+    return rd.from_arrow(pa.table({"node_id": pa.array(ids),
+                                   "rank": pa.array(r, pa.float64())}))
+
+
+def pagerank(nodes, edges, *, iters: int = 3, damping: float = 0.85,
+             driver_limit: int = 4_000_000):
     """PageRank after ``iters`` damped power iterations.
 
     ``nodes``/``edges``: Datasets with the canonical graph schemas
     (node_id; subj_id/obj_id/undirected).  Returns a Dataset with
     columns (node_id, rank); ranks sum to 1 up to float error.
+
+    Size-dispatched like the hybrid BFS: when nodes+edges fit under
+    ``driver_limit`` rows the exact numpy loop runs on the driver (the
+    iterative dataset algebra pays several executor spin-ups per
+    iteration — pure fix-cost at small sizes); above it, the
+    distributed path streams (forced-threshold pytest proves both
+    paths equal).
     """
     n = nodes.count()
+    if 0 < n and n + edges.count() <= driver_limit:
+        return _pagerank_driver(nodes, edges, iters, damping)
     if n == 0:
         import ray.data as rd
         return rd.from_arrow(

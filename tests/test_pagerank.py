@@ -37,15 +37,19 @@ def _numpy_pr(n, edges, iters=3, d=0.85):
 
 
 @pytest.mark.parametrize("iters", [1, 3])
-def test_pagerank_vs_numpy(ray_session, iters):
+@pytest.mark.parametrize("driver_limit", [4_000_000, 0])
+def test_pagerank_vs_numpy(ray_session, iters, driver_limit):
     # hub, chain, a dangling sink, an undirected pair (both directions),
     # a parallel multi-edge, and two isolated nodes (8, 9)
     edges = [(0, 1, False), (0, 2, False), (0, 3, False),
              (1, 2, False), (2, 3, False), (3, 4, False),
              (5, 6, True), (0, 1, False), (7, 0, False)]
     nodes, et = _graph(10, edges)
-    got = pagerank(rd.from_arrow(nodes), rd.from_arrow(et),
-                   iters=iters).to_pandas().set_index("node_id")["rank"]
+    # driver_limit=0 forces the distributed dataset path; the default
+    # takes the driver-resident exact path — both must agree
+    got = pagerank(rd.from_arrow(nodes), rd.from_arrow(et), iters=iters,
+                   driver_limit=driver_limit
+                   ).to_pandas().set_index("node_id")["rank"]
     ref = _numpy_pr(10, edges, iters=iters)
     assert len(got) == 10
     for i in range(10):
@@ -72,15 +76,17 @@ def test_pagerank_empty_graph(ray_session):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
-def test_pagerank_random_graph_vs_numpy(ray_session, seed):
+@pytest.mark.parametrize("driver_limit", [4_000_000, 0])
+def test_pagerank_random_graph_vs_numpy(ray_session, seed, driver_limit):
     rng = np.random.RandomState(seed)
     n = 40
     m = 120
     edges = [(int(rng.randint(n)), int(rng.randint(n)),
               bool(rng.rand() < 0.2)) for _ in range(m)]
     nodes, et = _graph(n, edges)
-    got = pagerank(rd.from_arrow(nodes), rd.from_arrow(et),
-                   iters=3).to_pandas().set_index("node_id")["rank"]
+    got = pagerank(rd.from_arrow(nodes), rd.from_arrow(et), iters=3,
+                   driver_limit=driver_limit
+                   ).to_pandas().set_index("node_id")["rank"]
     ref = _numpy_pr(n, edges, iters=3)
     assert len(got) == n
     for i in range(n):
