@@ -307,6 +307,10 @@ def test_compact_store(tmp_path):
     store = str(tmp_path / "store")
     init_incremental(p["a"], store, num_buckets=32)
     ingest_increment(p["b"], store)
+    # first pass: a freshly merged store has multi-file buckets (one
+    # file per block x increment); after it EVERY bucket is single-file,
+    # which makes the hardlink/inode assertions below actually bite
+    compact_store(store)
 
     def bucket_files(table):
         d = os.path.join(store, table)
@@ -338,6 +342,7 @@ def test_compact_store(tmp_path):
         b: os.stat(os.path.join(nd, b, fs[0])).st_ino
         for b, fs in bucket_files("nodes").items()
         if b != victim and len(fs) == 1}
+    assert untouched_inodes, "no single-file buckets — test can't bite"
 
     r = compact_store(store)
     assert r["compacted_nodes_buckets"] == 1
