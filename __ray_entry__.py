@@ -813,18 +813,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational operator surface (SQL-checked)
         "q1_pricing_summary": R.q1_pricing_summary,
         "top_orders_by_revenue": R.top_orders_by_revenue,
-        "orders_priority_stats": R.orders_priority_stats,
         "customers_without_orders": R.customers_without_orders,
         "top_order_per_customer": R.top_order_per_customer,
-        "region_rollup": R.region_rollup,
         "lineitem_quantiles": R.lineitem_quantiles,
         "users_click_not_purchase": R.users_click_not_purchase,
         # event-stream analytics (SQL-checked)
         "events_user_topk": R.events_user_topk,
         "events_sessions": R.events_sessions,
         "events_asof_order": R.events_asof_order,
-        "events_type_stats": R.events_type_stats,
         "mention_topk": R.mention_topk,
+        # late-round-5 graph/text analytics (SQL-checked) — swapped in
+        # for orders_priority_stats/region_rollup/events_type_stats,
+        # each redundant with an in-window sibling aggregate
+        "graph_pagerank": _graph_pagerank,
+        "edge_timeline": _kg_edge_timeline,
+        "doc_tfidf_topk": R.doc_tfidf_topk,
         # training-data ops over documents (SQL-checked)
         "doc_exact_dedup": R.doc_exact_dedup,
         "doc_token_counts": R.doc_token_counts,
@@ -883,9 +886,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_words_by_lang": R.doc_top_words_by_lang,
         "doc_pii_scrub": R.doc_pii_scrub,
         "host_stats": _kg_host_stats,
-        "edge_timeline": _kg_edge_timeline,
-        "graph_pagerank": _graph_pagerank,
-        "doc_tfidf_topk": R.doc_tfidf_topk,
+        # displaced late round 5 for graph_pagerank / edge_timeline /
+        # doc_tfidf_topk (siblings: orders_priority_stats~segment_order_
+        # stats, region_rollup~region_revenue, events_type_stats~
+        # events_hourly keep the family repped; parity stays pinned by
+        # test_displaced_oracle_parity)
+        "orders_priority_stats": R.orders_priority_stats,
+        "region_rollup": R.region_rollup,
+        "events_type_stats": R.events_type_stats,
     }
     assert len(window) == DRIVER_WINDOW, (
         f"driver window section has {len(window)} entries, "
