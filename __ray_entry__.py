@@ -436,10 +436,15 @@ def _kg_oracles() -> dict[str, str]:
             WHERE predicate <> 'signed'
             GROUP BY edge_id
         """,
-        # temporal rollup: date_trunc in a UTC session == the engine's
-        # floor_temporal on the tz-aware warc_ts column
+        # temporal rollup: the day key is a STRING formatted in UTC on
+        # both sides (AT TIME ZONE 'UTC' pins it) — date_trunc on a
+        # timestamptz would follow the DuckDB session timezone, which
+        # follows the host TZ, and silently shift bucket boundaries on
+        # a non-UTC machine
         "edge_timeline": f"""
-            SELECT predicate, date_trunc('day', warc_ts) AS day,
+            SELECT predicate,
+                   strftime(warc_ts AT TIME ZONE 'UTC', '%Y-%m-%d')
+                       AS day,
                    COUNT(*) AS n_statements,
                    COUNT(DISTINCT edge_id) AS n_distinct_edges
             FROM read_parquet('{tri}') GROUP BY predicate, day
@@ -706,10 +711,11 @@ def _kg_edge_timeline(sf_dir: str):
     """Temporal analytics over the triples checkpoint: per (predicate,
     crawl day) statement volume and distinct-edge counts — the
     knownSince/lastScan time-metadata query shape, re-keyed to crawl
-    timestamps.  floor_temporal(day) == DuckDB date_trunc('day') in a
-    UTC session; the distinct count is the standard two-phase distinct
-    exchange, the volume count one grouped combiner pass."""
-    import pyarrow as pa
+    timestamps.  The day key is a UTC-formatted STRING on both sides
+    (host-timezone-proof — a timestamptz date_trunc would follow the
+    DuckDB session tz); the distinct count is the standard two-phase
+    distinct exchange, the volume count one grouped combiner pass.
+    The projected base is materialized once: it feeds both counts."""
     import pyarrow.compute as pc
 
     from guacray.stages.agg import auto_join, grouped_agg
@@ -717,8 +723,9 @@ def _kg_edge_timeline(sf_dir: str):
 
     def project(t):
         return t.select(["predicate", "warc_ts", "edge_id"]).set_column(
-            1, "day", pc.floor_temporal(t["warc_ts"], unit="day"))
-    base = tri.map_batches(project, batch_format="pyarrow")
+            1, "day", pc.strftime(t["warc_ts"], format="%Y-%m-%d"))
+    base = tri.map_batches(project,
+                           batch_format="pyarrow").materialize()
     vol = grouped_agg(base, ["predicate", "day"],
                       [("edge_id", "count", "n_statements")])
     dist = grouped_agg(
@@ -727,7 +734,7 @@ def _kg_edge_timeline(sf_dir: str):
 
     def key(t):
         return t.append_column("pd_key", pc.binary_join_element_wise(
-            t["predicate"], pc.cast(t["day"], pa.string()), "\x1f"))
+            t["predicate"], t["day"], "\x1f"))
     vol = vol.map_batches(key, batch_format="pyarrow")
     dist = dist.map_batches(
         lambda t: key(t).drop_columns(["predicate", "day"]),

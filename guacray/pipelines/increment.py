@@ -145,6 +145,19 @@ def _merge_edges(group: pa.Table) -> pa.Table:
                           pc.cast(out["n_evidence"], pa.int64()))
 
 
+def _hardlink_buckets(live_dir: str, tmp_dir: str,
+                      buckets: set[int]) -> None:
+    """Carry untouched bucket partitions into a new table version as
+    hardlinks — O(1) metadata per file, the data is never read.  The
+    ONE publish discipline shared by the delta merge and compaction."""
+    for b in sorted(buckets):
+        src = os.path.join(live_dir, f"bucket={b}")
+        dst = os.path.join(tmp_dir, f"bucket={b}")
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(src):
+            os.link(os.path.join(src, f), os.path.join(dst, f))
+
+
 def _swap_table(table_dir: str, merged_ds, touched: set[int],
                 ledger: dict, order_cols: list[str]) -> None:
     """Publish a new table version: merged touched buckets written
@@ -159,12 +172,7 @@ def _swap_table(table_dir: str, merged_ds, touched: set[int],
         lambda t: t.select(["bucket"] + order_cols),
         batch_format="pyarrow").write_parquet(
             tmp, partition_cols=["bucket"])
-    for b in sorted(_live_buckets(table_dir) - touched):
-        src = os.path.join(table_dir, f"bucket={b}")
-        dst = os.path.join(tmp, f"bucket={b}")
-        os.makedirs(dst, exist_ok=True)
-        for f in os.listdir(src):
-            os.link(os.path.join(src, f), os.path.join(dst, f))
+    _hardlink_buckets(table_dir, tmp, _live_buckets(table_dir) - touched)
     with open(_ledger_path(tmp), "w") as f:
         json.dump(ledger, f)
     _commit_dir(tmp, table_dir)
@@ -437,6 +445,12 @@ def compact_store(out_dir: str, tables=("nodes", "edges")) -> dict:
     stats = {}
     for name in tables:
         d = os.path.join(out_dir, name)
+        if not os.path.exists(_ledger_path(d)):
+            raise RuntimeError(
+                f"{d} is not an incremental store table (no "
+                f"{os.path.basename(_ledger_path(d))} ledger) — compact "
+                f"applies to init_incremental stores; flat run_kg "
+                f"outputs are rewritten whole on each run instead")
         ledger = _read_ledger(d)
         per_bucket = {b: _bucket_files(d, b) for b in _live_buckets(d)}
         multi = {b: fs for b, fs in per_bucket.items() if len(fs) > 1}
@@ -452,12 +466,7 @@ def compact_store(out_dir: str, tables=("nodes", "edges")) -> dict:
             refs.append(_compact_bucket.remote(
                 fs, os.path.join(bd, "compact-0.parquet"),
                 f"{name[:-1]}_id"))
-        for b in sorted(set(per_bucket) - set(multi)):
-            src, dst = (os.path.join(x, f"bucket={b}")
-                        for x in (d, tmp))
-            os.makedirs(dst, exist_ok=True)
-            for f in os.listdir(src):
-                os.link(os.path.join(src, f), os.path.join(dst, f))
+        _hardlink_buckets(d, tmp, set(per_bucket) - set(multi))
         ray.get(refs)
         with open(_ledger_path(tmp), "w") as f:
             json.dump(ledger, f)

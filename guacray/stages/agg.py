@@ -209,8 +209,11 @@ def left_lookup_join(left, right, *, on: str, right_on: str,
         # the merge path can't run; stamp the fallback directly (typed
         # from the right schema when the empty execution preserved one)
         sch = right.schema(fetch_if_missing=False)
+        # base_schema may be a PandasBlockSchema (no .field) when the
+        # empty right side came through a pandas-format map stage
         vtype = (sch.base_schema.field(value_col).type
-                 if sch is not None and value_col in sch.names else None)
+                 if sch is not None and value_col in sch.names
+                 and isinstance(sch.base_schema, pa.Schema) else None)
 
         def stamp(t: pa.Table) -> pa.Table:
             if default_from is not None:

@@ -72,18 +72,23 @@ def _pagerank_driver(nodes, edges, iters: int, damping: float):
     else:
         s = idx.get_indexer(e["subj_id"])
         o = idx.get_indexer(e["obj_id"])
-        assert (s >= 0).all() and (o >= 0).all(), \
-            "edge endpoint missing from nodes table"
         und = e["undirected"].fillna(False).to_numpy(bool)
         src = np.concatenate([s, o[und]])
         dst = np.concatenate([o, s[und]])
     n = len(ids)
-    outdeg = np.bincount(src, minlength=n)
+    # edges referencing ids absent from the nodes table (indexer -1,
+    # e.g. after a node delete that left incident edges): match the
+    # distributed path and the SQL oracle exactly — a known src's
+    # outdeg counts ALL its out-edges, contributions to a missing dst
+    # vanish (mass leaks), edges FROM a missing src contribute nothing
+    outdeg = np.bincount(src[src >= 0], minlength=n)
+    keep = (src >= 0) & (dst >= 0)
+    src_c, dst_c = src[keep], dst[keep]
     r = np.full(n, 1.0 / n)
     for _ in range(iters):
         dang = r[outdeg == 0].sum()
         contrib = np.zeros(n)
-        np.add.at(contrib, dst, r[src] / outdeg[src])
+        np.add.at(contrib, dst_c, r[src_c] / outdeg[src_c])
         r = (1 - damping) / n + damping * (contrib + dang / n)
     return rd.from_arrow(pa.table({"node_id": pa.array(ids),
                                    "rank": pa.array(r, pa.float64())}))

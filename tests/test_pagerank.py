@@ -91,3 +91,44 @@ def test_pagerank_random_graph_vs_numpy(ray_session, seed, driver_limit):
     assert len(got) == n
     for i in range(n):
         assert got[f"n{i:02d}"] == pytest.approx(ref[i], abs=1e-12)
+
+
+@pytest.mark.parametrize("driver_limit", [4_000_000, 0])
+def test_pagerank_missing_endpoint_edges(ray_session, driver_limit):
+    """Edges referencing ids absent from the nodes table (e.g. after a
+    node delete that left incident edges): both paths must agree — a
+    known src's outdeg counts ALL its out-edges, contributions to a
+    missing dst vanish (mass leaks), edges FROM a missing src
+    contribute nothing."""
+    nodes = pa.table({"node_id": ["a", "b", "c"]})
+    et = pa.table({
+        "subj_id": ["a", "a", "ghost", "b"],
+        "obj_id": ["b", "ghost", "c", "c"],
+        "undirected": [False, False, False, False]})
+    got = pagerank(rd.from_arrow(nodes), rd.from_arrow(et), iters=3,
+                   driver_limit=driver_limit
+                   ).to_pandas().set_index("node_id")["rank"]
+    # numpy reference with the same semantics
+    d, n = 0.85, 3
+    r = np.full(n, 1.0 / n)  # a=0 b=1 c=2; a outdeg 2 (one to ghost)
+    for _ in range(3):
+        dang = r[2]  # only c is dangling (b->c keeps b non-dangling)
+        contrib = np.zeros(n)
+        contrib[1] += r[0] / 2       # a->b (a->ghost vanishes)
+        contrib[2] += r[1] / 1       # b->c; ghost->c contributes nothing
+        r = (1 - d) / n + d * (contrib + dang / n)
+    for i, name in enumerate(["a", "b", "c"]):
+        assert got[name] == pytest.approx(r[i], abs=1e-12), name
+    assert got.sum() < 1.0  # leaked mass to the ghost endpoint
+
+
+def test_compact_store_refuses_flat_store(ray_session, tmp_path):
+    import pytest as _pytest
+
+    from guacray.data.pages import write_pages
+    from guacray.pipelines.increment import compact_store
+    from guacray.pipelines.kg import run_kg
+    write_pages(str(tmp_path / "p.parquet"), 128)
+    run_kg(str(tmp_path / "p.parquet"), str(tmp_path / "flat"))
+    with _pytest.raises(RuntimeError, match="not an incremental store"):
+        compact_store(str(tmp_path / "flat"))
