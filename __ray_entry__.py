@@ -258,22 +258,38 @@ def _kg_affected_versions(sf_dir: str):
 
 
 def _pagerank_sql(nod: str, edg: str, iters: int = 3,
-                  damping: float = 0.85) -> str:
+                  damping: float = 0.85,
+                  seeds_limit: int | None = None) -> str:
     """Unrolled damped power iteration — one CTE per iteration, each
     the exact SQL transliteration of one loop body in
     stages/pagerank.pagerank (undirected rows expand to both
-    orientations, dangling mass redistributed uniformly)."""
+    orientations, dangling mass redistributed over the restart
+    vector).  ``seeds_limit`` switches to PERSONALIZED PageRank with
+    the k lexicographically-smallest node_ids as the seed set (the
+    deterministic choice _graph_ppr mirrors on the Ray side)."""
+    if seeds_limit is None:
+        seed_ctes = ""
+        p_expr = "1.0/nn.n"
+    else:
+        seed_ctes = f"""
+        sd AS (SELECT node_id FROM read_parquet('{nod}')
+               ORDER BY node_id LIMIT {seeds_limit}),
+        ns AS (SELECT COUNT(*) AS c FROM sd),"""
+        p_expr = ("CASE WHEN r.node_id IN (SELECT node_id FROM sd) "
+                  "THEN 1.0/ns.c ELSE 0 END")
+    joins = "CROSS JOIN nn" + (" CROSS JOIN ns"
+                               if seeds_limit is not None else "")
     steps = []
     for i in range(1, iters + 1):
         p = i - 1
         steps.append(f"""
             r{i} AS (
                 SELECT r.node_id, r.outdeg,
-                       (1 - {damping})/nn.n
-                       + {damping} * (COALESCE(c.contrib, 0)
-                                      + dang.mass/nn.n) AS rank
+                       ((1 - {damping}) + {damping} * dang.mass)
+                           * {p_expr}
+                       + {damping} * COALESCE(c.contrib, 0) AS rank
                 FROM r{p} r
-                CROSS JOIN nn
+                {joins}
                 CROSS JOIN (SELECT COALESCE(SUM(rank), 0) AS mass
                             FROM r{p} WHERE outdeg = 0) dang
                 LEFT JOIN (SELECT e.dst,
@@ -288,14 +304,14 @@ def _pagerank_sql(nod: str, edg: str, iters: int = 3,
             UNION ALL
             SELECT obj_id, subj_id
             FROM read_parquet('{edg}') WHERE undirected),
-        nn AS (SELECT COUNT(*) AS n FROM read_parquet('{nod}')),
+        nn AS (SELECT COUNT(*) AS n FROM read_parquet('{nod}')),{seed_ctes}
         deg AS (SELECT src, COUNT(*) AS outdeg FROM E GROUP BY src),
         r0 AS (
-            SELECT node_id, COALESCE(d.outdeg, 0) AS outdeg,
-                   1.0/nn.n AS rank
-            FROM read_parquet('{nod}')
-            LEFT JOIN deg d ON node_id = d.src
-            CROSS JOIN nn),
+            SELECT r.node_id, COALESCE(d.outdeg, 0) AS outdeg,
+                   {p_expr} AS rank
+            FROM read_parquet('{nod}') r
+            LEFT JOIN deg d ON r.node_id = d.src
+            {joins}),
         {",".join(steps)}
         SELECT node_id, rank FROM r{iters}
     """
@@ -309,6 +325,27 @@ def _graph_pagerank(sf_dir: str):
     over the same materialized nodes/edges parquet."""
     from guacray.stages.pagerank import pagerank
     return pagerank(_kg_read(sf_dir, "nodes"), _kg_read(sf_dir, "edges"))
+
+
+def _graph_ppr(sf_dir: str, k: int = 3):
+    """Personalized PageRank from a deterministic seed set (the k
+    lexicographically-smallest node_ids — mirrored exactly by the
+    oracle's ORDER BY node_id LIMIT k): influence-weighted blast
+    radius, the spectral sibling of patchPlanning.go's BFS."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from guacray.stages.pagerank import pagerank
+    nodes = _kg_read(sf_dir, "nodes")
+    edges = _kg_read(sf_dir, "edges")
+    # k smallest ids: per-block local head (<= k rows leave each
+    # block), tiny driver-side final min
+    heads = nodes.map_batches(
+        lambda t: pa.table({"node_id": pc.take(
+            t["node_id"], pc.sort_indices(t["node_id"])).slice(0, k)}),
+        batch_format="pyarrow").to_pandas()
+    seeds = sorted(heads["node_id"].tolist())[:k]
+    return pagerank(nodes, edges, seeds=seeds)
 
 
 def _kg_oracles() -> dict[str, str]:
@@ -453,6 +490,7 @@ def _kg_oracles() -> dict[str, str]:
         # count as stages/pagerank.py; float parity is robust at the
         # harness's %.6g because both sides sum float64 contributions
         "graph_pagerank": _pagerank_sql(nod, edg),
+        "graph_ppr": _pagerank_sql(nod, edg, seeds_limit=3),
         # per-host provenance census (SourceInformation rollup); host
         # extraction parity: RE2 '\\1' replacement == regexp_extract
         "host_stats": f"""
@@ -901,6 +939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_stats": R.orders_priority_stats,
         "region_rollup": R.region_rollup,
         "events_type_stats": R.events_type_stats,
+        "graph_ppr": _graph_ppr,
     }
     assert len(window) == DRIVER_WINDOW, (
         f"driver window section has {len(window)} entries, "

@@ -50,7 +50,8 @@ def _expand(t: pa.Table) -> pa.Table:
     return pa.concat_tables([fwd, rev])
 
 
-def _pagerank_driver(nodes, edges, iters: int, damping: float):
+def _pagerank_driver(nodes, edges, iters: int, damping: float,
+                     seeds: list[str] | None):
     """Driver-resident exact path: below ``driver_limit`` the whole
     graph fits one process, and the dataset path's ~4 s/iteration of
     executor fix-cost (materialize + scalar aggregate + join + grouped
@@ -84,23 +85,41 @@ def _pagerank_driver(nodes, edges, iters: int, damping: float):
     outdeg = np.bincount(src[src >= 0], minlength=n)
     keep = (src >= 0) & (dst >= 0)
     src_c, dst_c = src[keep], dst[keep]
-    r = np.full(n, 1.0 / n)
+    if seeds is None:
+        p = np.full(n, 1.0 / n)
+    else:
+        # restart vector over the seed set; a seed absent from nodes
+        # leaks its teleport mass (consistent with the dataset path's
+        # is_in mask and the SQL oracle's IN clause)
+        p = np.zeros(n)
+        si = idx.get_indexer(np.asarray(list(seeds), dtype=object))
+        p[si[si >= 0]] = 1.0 / len(seeds)
+    r = p.copy()
     for _ in range(iters):
         dang = r[outdeg == 0].sum()
         contrib = np.zeros(n)
         np.add.at(contrib, dst_c, r[src_c] / outdeg[src_c])
-        r = (1 - damping) / n + damping * (contrib + dang / n)
+        r = ((1 - damping) + damping * dang) * p + damping * contrib
     return rd.from_arrow(pa.table({"node_id": pa.array(ids),
                                    "rank": pa.array(r, pa.float64())}))
 
 
 def pagerank(nodes, edges, *, iters: int = 3, damping: float = 0.85,
-             driver_limit: int = 4_000_000):
+             driver_limit: int = 4_000_000,
+             seeds: list[str] | None = None):
     """PageRank after ``iters`` damped power iterations.
 
     ``nodes``/``edges``: Datasets with the canonical graph schemas
     (node_id; subj_id/obj_id/undirected).  Returns a Dataset with
     columns (node_id, rank); ranks sum to 1 up to float error.
+
+    ``seeds`` (unique node_ids) switches to PERSONALIZED PageRank: the
+    restart vector (initial mass, teleport, dangling redistribution)
+    concentrates on the seed set instead of being uniform — the
+    influence-weighted sibling of the blast-radius BFS (reference
+    analytics family, patchPlanning.go).  The seed list is broadcast
+    into every batch's membership mask, so it must stay small (it is a
+    query parameter, not a table).
 
     Size-dispatched like the hybrid BFS: when nodes+edges fit under
     ``driver_limit`` rows the exact numpy loop runs on the driver (the
@@ -111,7 +130,7 @@ def pagerank(nodes, edges, *, iters: int = 3, damping: float = 0.85,
     """
     n = nodes.count()
     if 0 < n and n + edges.count() <= driver_limit:
-        return _pagerank_driver(nodes, edges, iters, damping)
+        return _pagerank_driver(nodes, edges, iters, damping, seeds)
     if n == 0:
         import ray.data as rd
         return rd.from_arrow(
@@ -121,11 +140,23 @@ def pagerank(nodes, edges, *, iters: int = 3, damping: float = 0.85,
     ed = edges.map_batches(_expand, batch_format="pyarrow").materialize()
     deg = grouped_agg(ed, "src", [("dst", "count", "outdeg")])
 
+    if seeds is None:
+        def p_arr(t: pa.Table) -> pa.Array:
+            return pa.array(np.full(len(t), 1.0 / n), pa.float64())
+    else:
+        seed_set = pa.array(sorted(set(seeds)), pa.string())
+        inv_ns = 1.0 / len(seeds)
+
+        def p_arr(t: pa.Table) -> pa.Array:
+            mask = pc.is_in(t["node_id"], value_set=seed_set)
+            return pc.multiply(pc.cast(mask, pa.float64()),
+                               pa.scalar(inv_ns, pa.float64()))
+
     def init(t: pa.Table) -> pa.Table:
         return pa.table({
             "node_id": t["node_id"],
             "outdeg": pc.fill_null(pc.cast(t["outdeg"], pa.int64()), 0),
-            "rank": pa.array(np.full(len(t), 1.0 / n), pa.float64())})
+            "rank": p_arr(t)})
     ranks = left_lookup_join(
         nodes.select_columns(["node_id"]), deg,
         on="node_id", right_on="src", value_col="outdeg", out="outdeg",
@@ -145,14 +176,17 @@ def pagerank(nodes, edges, *, iters: int = 3, damping: float = 0.85,
         contrib = grouped_agg(
             auto_join(ed, shares, on="src", right_on="node_id"),
             "dst", [("share", "sum", "contrib")])
-        base = (1.0 - damping) / n + damping * dangling / n
+        # r = ((1-d) + d*dang) * p_v + d * contrib_v — for a uniform
+        # restart (p_v = 1/n) this is the classic (1-d)/n + d*(c+m/n)
+        base_coef = (1.0 - damping) + damping * dangling
 
-        def apply(t: pa.Table, base=base) -> pa.Table:
+        def apply(t: pa.Table, base_coef=base_coef) -> pa.Table:
             return pa.table({
                 "node_id": t["node_id"],
                 "outdeg": t["outdeg"],
                 "rank": pc.add(
-                    pa.scalar(base, pa.float64()),
+                    pc.multiply(p_arr(t),
+                                pa.scalar(base_coef, pa.float64())),
                     pc.multiply(
                         pa.scalar(damping, pa.float64()),
                         pc.fill_null(pc.cast(t["contrib"], pa.float64()),

@@ -132,3 +132,36 @@ def test_compact_store_refuses_flat_store(ray_session, tmp_path):
     run_kg(str(tmp_path / "p.parquet"), str(tmp_path / "flat"))
     with _pytest.raises(RuntimeError, match="not an incremental store"):
         compact_store(str(tmp_path / "flat"))
+
+
+@pytest.mark.parametrize("driver_limit", [4_000_000, 0])
+def test_personalized_pagerank_vs_numpy(ray_session, driver_limit):
+    edges = [(0, 1, False), (1, 2, False), (2, 0, False),
+             (3, 4, True), (0, 3, False)]
+    nodes, et = _graph(6, edges)  # node 5 isolated
+    seeds = ["n00", "n04"]
+    got = pagerank(rd.from_arrow(nodes), rd.from_arrow(et), iters=3,
+                   seeds=seeds, driver_limit=driver_limit
+                   ).to_pandas().set_index("node_id")["rank"]
+    # numpy reference with a seeded restart vector
+    n, d = 6, 0.85
+    src, dst = [], []
+    for s, o, u in edges:
+        src.append(s), dst.append(o)
+        if u:
+            src.append(o), dst.append(s)
+    src, dst = np.array(src), np.array(dst)
+    outdeg = np.bincount(src, minlength=n)
+    p = np.zeros(n)
+    p[[0, 4]] = 0.5
+    r = p.copy()
+    for _ in range(3):
+        dang = r[outdeg == 0].sum()
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, r[src] / outdeg[src])
+        r = ((1 - d) + d * dang) * p + d * contrib
+    for i in range(n):
+        assert got[f"n{i:02d}"] == pytest.approx(r[i], abs=1e-12), i
+    # restart mass concentrates near seeds: isolated non-seed node
+    # gets exactly zero
+    assert got["n05"] == 0.0
