@@ -367,3 +367,38 @@ def test_compact_store(tmp_path):
                   "compacted_edges_buckets": 0}
     assert os.stat(os.path.join(
         nd, victim, after_files[victim][0])).st_ino == inode_compacted
+
+
+def test_compact_store_crash_recovery(tmp_path):
+    """A crash mid-compaction leaves (a) a stale .__tmp__ dir and/or
+    (b) one table compacted and the other not — both states must read
+    correctly and a re-run must recover."""
+    import json as _json
+    import shutil
+
+    from guacray.pipelines.increment import compact_store
+
+    p = _split_pages(tmp_path)
+    store = str(tmp_path / "store")
+    init_incremental(p["a"], store, num_buckets=32)
+    before = {n: _table_df(read_graph_table(store, n), k)
+              for n, k in (("nodes", "node_id"), ("edges", "edge_id"))}
+
+    # partial state: only nodes compacted (crash between the two swaps)
+    compact_store(store, tables=("nodes",))
+    for n, k in (("nodes", "node_id"), ("edges", "edge_id")):
+        pd.testing.assert_frame_equal(
+            _table_df(read_graph_table(store, n), k), before[n])
+
+    # stale tmp dir from a killed run must not poison the next one
+    stale = os.path.join(store, "edges.__tmp__")
+    os.makedirs(os.path.join(stale, "bucket=0"), exist_ok=True)
+    with open(os.path.join(stale, "bucket=0", "garbage.parquet"),
+              "w") as f:
+        f.write("not parquet")
+    r = compact_store(store)
+    assert r["compacted_nodes_buckets"] == 0  # already done
+    assert not os.path.exists(stale)
+    for n, k in (("nodes", "node_id"), ("edges", "edge_id")):
+        pd.testing.assert_frame_equal(
+            _table_df(read_graph_table(store, n), k), before[n])
