@@ -348,6 +348,15 @@ def _graph_ppr(sf_dir: str, k: int = 3):
     return pagerank(nodes, edges, seeds=seeds)
 
 
+def _graph_triangles(sf_dir: str):
+    """Per-node triangle participation over the canonical graph
+    (stages/triangles.py: oriented two-path join + closing semi-join —
+    the standard distributed formulation).  SQL-checked against a
+    LEAST/GREATEST 3-way self-join in DuckDB."""
+    from guacray.stages.triangles import triangle_counts
+    return triangle_counts(_kg_read(sf_dir, "edges"))
+
+
 def _kg_oracles() -> dict[str, str]:
     """DuckDB oracles for the KG query surface.
 
@@ -491,6 +500,26 @@ def _kg_oracles() -> dict[str, str]:
         # harness's %.6g because both sides sum float64 contributions
         "graph_pagerank": _pagerank_sql(nod, edg),
         "graph_ppr": _pagerank_sql(nod, edg, seeds_limit=3),
+        # oriented (a<b) simple pairs; each triangle credits all three
+        # corners — mirrors stages/triangles.triangle_counts exactly
+        "graph_triangles": f"""
+            WITH P AS (
+                SELECT DISTINCT LEAST(subj_id, obj_id) AS a,
+                                GREATEST(subj_id, obj_id) AS b
+                FROM read_parquet('{edg}')
+                WHERE subj_id <> obj_id),
+            T AS (
+                SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                FROM P e1
+                JOIN P e2 ON e1.b = e2.a
+                JOIN P e3 ON e3.a = e1.a AND e3.b = e2.b),
+            corners AS (
+                SELECT a AS node_id FROM T
+                UNION ALL SELECT b FROM T
+                UNION ALL SELECT c FROM T)
+            SELECT node_id, COUNT(*) AS n_triangles
+            FROM corners GROUP BY node_id
+        """,
         # per-host provenance census (SourceInformation rollup); host
         # extraction parity: RE2 '\\1' replacement == regexp_extract
         "host_stats": f"""
@@ -940,6 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_rollup": R.region_rollup,
         "events_type_stats": R.events_type_stats,
         "graph_ppr": _graph_ppr,
+        "graph_triangles": _graph_triangles,
     }
     assert len(window) == DRIVER_WINDOW, (
         f"driver window section has {len(window)} entries, "
