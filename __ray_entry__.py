@@ -357,6 +357,15 @@ def _graph_triangles(sf_dir: str):
     return triangle_counts(_kg_read(sf_dir, "edges"))
 
 
+def _graph_clustering(sf_dir: str):
+    """Local clustering coefficient per node with distinct-neighbor
+    degree ≥ 2 (stages/triangles.clustering_coefficients) — SQL-checked
+    against the composed LEAST/GREATEST self-join + degree derivation
+    in DuckDB (identical integer inputs → bit-equal doubles)."""
+    from guacray.stages.triangles import clustering_coefficients
+    return clustering_coefficients(_kg_read(sf_dir, "edges"))
+
+
 def _kg_oracles() -> dict[str, str]:
     """DuckDB oracles for the KG query surface.
 
@@ -519,6 +528,39 @@ def _kg_oracles() -> dict[str, str]:
                 UNION ALL SELECT c FROM T)
             SELECT node_id, COUNT(*) AS n_triangles
             FROM corners GROUP BY node_id
+        """,
+        # clustering = 2T / (d(d-1)) with d = distinct-neighbor degree;
+        # nodes with d < 2 are out of domain, no-triangle nodes score 0
+        "graph_clustering": f"""
+            WITH P AS (
+                SELECT DISTINCT LEAST(subj_id, obj_id) AS a,
+                                GREATEST(subj_id, obj_id) AS b
+                FROM read_parquet('{edg}')
+                WHERE subj_id <> obj_id),
+            T AS (
+                SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                FROM P e1
+                JOIN P e2 ON e1.b = e2.a
+                JOIN P e3 ON e3.a = e1.a AND e3.b = e2.b),
+            corners AS (
+                SELECT a AS node_id FROM T
+                UNION ALL SELECT b FROM T
+                UNION ALL SELECT c FROM T),
+            tri AS (
+                SELECT node_id, COUNT(*) AS n_tri
+                FROM corners GROUP BY node_id),
+            ends AS (
+                SELECT a AS node_id FROM P
+                UNION ALL SELECT b FROM P),
+            deg AS (
+                SELECT node_id, COUNT(*) AS deg
+                FROM ends GROUP BY node_id)
+            SELECT d.node_id, d.deg,
+                   2.0 * COALESCE(t.n_tri, 0)
+                       / (CAST(d.deg AS DOUBLE) * (d.deg - 1))
+                       AS clustering
+            FROM deg d LEFT JOIN tri t ON d.node_id = t.node_id
+            WHERE d.deg > 1
         """,
         # per-host provenance census (SourceInformation rollup); host
         # extraction parity: RE2 '\\1' replacement == regexp_extract
@@ -970,6 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_stats": R.events_type_stats,
         "graph_ppr": _graph_ppr,
         "graph_triangles": _graph_triangles,
+        "graph_clustering": _graph_clustering,
     }
     assert len(window) == DRIVER_WINDOW, (
         f"driver window section has {len(window)} entries, "

@@ -53,3 +53,32 @@ def test_triangles_none(ray_session):
     got = triangle_counts(
         rd.from_arrow(_edges_table([("a", "b"), ("b", "c")]))).to_pandas()
     assert len(got) == 0
+
+
+def test_clustering_vs_brute(ray_session):
+    from guacray.stages.triangles import clustering_coefficients
+    rng = np.random.RandomState(3)
+    names = [f"n{i:02d}" for i in range(12)]
+    pairs = [(names[rng.randint(12)], names[rng.randint(12)])
+             for _ in range(40)]
+    got = clustering_coefficients(
+        rd.from_arrow(_edges_table(pairs))).to_pandas()
+    tri = _brute(pairs)
+    adj: dict[str, set] = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    exp = {v: (len(nb), 2.0 * tri.get(v, 0) / (len(nb) * (len(nb) - 1)))
+           for v, nb in adj.items() if len(nb) >= 2}
+    assert {(r["node_id"], r["deg"], r["clustering"])
+            for _, r in got.iterrows()} == \
+        {(v, d, c) for v, (d, c) in exp.items()}
+
+
+def test_clustering_no_triangles_scores_zero(ray_session):
+    from guacray.stages.triangles import clustering_coefficients
+    got = clustering_coefficients(rd.from_arrow(
+        _edges_table([("a", "b"), ("b", "c")]))).to_pandas()
+    # only b has degree >= 2; path graph -> coefficient 0
+    assert dict(zip(got["node_id"], got["clustering"])) == {"b": 0.0}
